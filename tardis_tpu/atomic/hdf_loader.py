@@ -1,0 +1,105 @@
+"""Loader for carsus-format atomic data HDF files (kurucz_cd23_chianti...).
+
+Mirrors the columns and unit conventions of the reference's
+``AtomData.from_hdf`` (/root/reference/tardis/io/atom_data/base.py:178-330):
+levels energy and ionization energies are stored in eV and converted to erg;
+lines carry nu [Hz], f_lu, and (Z, ion, level_number_lower/upper).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tardis_tpu.atomic.atom_data import ATOMIC_MASSES, AtomData
+from tardis_tpu.constants import M_U
+
+EV_TO_ERG = 1.602176634e-12
+
+
+def atom_data_from_hdf(path: str) -> AtomData:
+    """Read a carsus atomic-data HDF file into the flat AtomData layout."""
+    import pandas as pd
+
+    with pd.HDFStore(path, "r") as store:
+        atom_df = store["atom_data"]
+        ionization = store["ionization_data"]
+        levels = store["levels_data"] if "levels_data" in store else store["levels"]
+        lines = store["lines_data"] if "lines_data" in store else store["lines"]
+        zeta = store["zeta_data"] if "zeta_data" in store else None
+
+    # --- elements
+    atom_df = atom_df.reset_index()
+    atomic_numbers = atom_df["atomic_number"].to_numpy(dtype=np.int64)
+    masses = atom_df["mass"].to_numpy(dtype=np.float64) * M_U
+
+    # --- ionization (index (atomic_number, ion_number), eV)
+    ion = ionization.reset_index()
+    ion_energy_col = (
+        "ionization_energy" if "ionization_energy" in ion.columns else ion.columns[-1]
+    )
+
+    # --- levels
+    lv = levels.reset_index().sort_values(
+        ["atomic_number", "ion_number", "level_number"]
+    )
+    level_z = lv["atomic_number"].to_numpy(np.int64)
+    level_ion = lv["ion_number"].to_numpy(np.int64)
+    level_number = lv["level_number"].to_numpy(np.int64)
+    level_energy = lv["energy"].to_numpy(np.float64) * EV_TO_ERG
+    level_g = lv["g"].to_numpy(np.float64)
+    level_meta = lv["metastable"].to_numpy(bool)
+
+    # flat index lookup for (Z, ion, level)
+    key = (level_z.astype(np.int64) << 40) | (level_ion << 20) | level_number
+    order = np.argsort(key)
+    key_sorted = key[order]
+
+    def flat_idx(z, i, n):
+        k = (z.astype(np.int64) << 40) | (i.astype(np.int64) << 20) | n.astype(
+            np.int64
+        )
+        pos = np.searchsorted(key_sorted, k)
+        return order[pos].astype(np.int32)
+
+    # --- lines, sorted by nu descending (reference line_list_nu order)
+    ln = lines.reset_index()
+    ln = ln.sort_values("nu", ascending=False)
+    line_nu = ln["nu"].to_numpy(np.float64)
+    line_f_lu = ln["f_lu"].to_numpy(np.float64)
+    lz = ln["atomic_number"].to_numpy(np.int64)
+    li = ln["ion_number"].to_numpy(np.int64)
+    lower = flat_idx(lz, li, ln["level_number_lower"].to_numpy(np.int64))
+    upper = flat_idx(lz, li, ln["level_number_upper"].to_numpy(np.int64))
+
+    zeta_data = None
+    if zeta is not None:
+        zeta_data = {}
+        t_rads = np.array([float(c) for c in zeta.columns])
+        for (z, i), row in zeta.iterrows():
+            zeta_data[(int(z), int(i))] = (t_rads, row.to_numpy(np.float64))
+
+    return AtomData(
+        atomic_numbers=atomic_numbers,
+        masses=masses,
+        ionization_z=ion["atomic_number"].to_numpy(np.int64),
+        ionization_ion=ion["ion_number"].to_numpy(np.int64),
+        ionization_energy=ion[ion_energy_col].to_numpy(np.float64) * EV_TO_ERG,
+        level_z=level_z,
+        level_ion=level_ion,
+        level_number=level_number,
+        level_energy=level_energy,
+        level_g=level_g,
+        level_meta=level_meta,
+        line_nu=line_nu,
+        line_f_lu=line_f_lu,
+        line_lower_idx=lower,
+        line_upper_idx=upper,
+        line_z=lz,
+        line_ion=li,
+        meta={"source": path},
+        zeta_data=zeta_data,
+    )
+
+
+def _default_masses(atomic_numbers: np.ndarray) -> np.ndarray:
+    return np.array([ATOMIC_MASSES[z - 1] for z in atomic_numbers]) * M_U

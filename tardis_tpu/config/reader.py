@@ -1,0 +1,283 @@
+"""Configuration system: YAML -> validated, cgs-normalized config tree.
+
+Replaces the reference's jsonschema-based pipeline
+(/root/reference/tardis/io/configuration/config_reader.py:206,
+ config_validator.py:32-201) with a compact quantity parser + defaults
+injection.  All quantities are converted to cgs floats at parse time — the
+whole framework works in cgs floats (no astropy in the compute path).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import yaml
+
+# ---------------------------------------------------------------------------
+# unit handling
+# ---------------------------------------------------------------------------
+
+_CM = 1.0
+_UNIT_TO_CGS = {
+    # length
+    "cm": 1.0,
+    "m": 100.0,
+    "km": 1e5,
+    "angstrom": 1e-8,
+    "AA": 1e-8,
+    "nm": 1e-7,
+    "um": 1e-4,
+    # time
+    "s": 1.0,
+    "second": 1.0,
+    "day": 86400.0,
+    "d": 86400.0,
+    "hour": 3600.0,
+    "h": 3600.0,
+    "min": 60.0,
+    # mass
+    "g": 1.0,
+    "kg": 1000.0,
+    "solMass": 1.98892e33,
+    "msun": 1.98892e33,
+    # energy / power
+    "erg": 1.0,
+    "eV": 1.602176634e-12,
+    "keV": 1.602176634e-9,
+    "MeV": 1.602176634e-6,
+    "solLum": 3.828e33,
+    "lsun": 3.828e33,
+    "W": 1e7,
+    # temperature
+    "K": 1.0,
+    # frequency
+    "Hz": 1.0,
+    # dimensionless
+    "1": 1.0,
+}
+
+
+def _single_unit_to_cgs(token: str) -> float:
+    """Convert one unit token like 'km', 'cm^-3', 's-1' to a cgs factor."""
+    token = token.strip()
+    power = 1.0
+    for sep in ("^", "**"):
+        if sep in token:
+            base, p = token.split(sep, 1)
+            token, power = base, float(p)
+            break
+    else:
+        # trailing signed integer exponent, e.g. cm-3
+        i = len(token)
+        while i > 0 and (token[i - 1].isdigit() or token[i - 1] == "-"):
+            i -= 1
+        if i < len(token) and i > 0:
+            token, power = token[:i], float(token[i:])
+    if token not in _UNIT_TO_CGS:
+        raise ValueError(f"Unknown unit '{token}'")
+    return _UNIT_TO_CGS[token] ** power
+
+
+def unit_to_cgs_factor(unit: str) -> float:
+    """Convert a compound unit string ('km/s', 'g/cm^3', 'erg s^-1') to cgs."""
+    unit = unit.strip()
+    if unit in ("", "1"):
+        return 1.0
+    num, _, den = unit.partition("/")
+    factor = 1.0
+    for tok in num.replace("*", " ").split():
+        factor *= _single_unit_to_cgs(tok)
+    if den:
+        for tok in den.replace("*", " ").split():
+            factor /= _single_unit_to_cgs(tok)
+    return factor
+
+
+def parse_quantity(value) -> float:
+    """Parse '1.1e4 km/s' / '9.44 log_lsun' / plain numbers to a cgs float."""
+    if isinstance(value, (int, float)):
+        return float(value)
+    parts = str(value).split(None, 1)
+    mag = float(parts[0])
+    if len(parts) == 1:
+        return mag
+    unit = parts[1].strip()
+    if unit == "log_lsun":
+        return 10.0**mag * _UNIT_TO_CGS["solLum"]
+    return mag * unit_to_cgs_factor(unit)
+
+
+# ---------------------------------------------------------------------------
+# attribute-access dict
+# ---------------------------------------------------------------------------
+
+
+class ConfigDict(dict):
+    """Nested dict with attribute access (cf. ConfigurationNameSpace,
+    /root/reference/tardis/io/configuration/config_reader.py:23)."""
+
+    def __getattr__(self, item):
+        try:
+            v = self[item]
+        except KeyError as exc:  # pragma: no cover
+            raise AttributeError(item) from exc
+        return v
+
+    def __setattr__(self, key, value):
+        self[key] = value
+
+    @classmethod
+    def deep(cls, d):
+        if isinstance(d, dict):
+            return cls({k: cls.deep(v) for k, v in d.items()})
+        if isinstance(d, list):
+            return [cls.deep(v) for v in d]
+        return d
+
+
+def _deep_merge(base: dict, override: dict) -> dict:
+    out = dict(base)
+    for k, v in override.items():
+        if k in out and isinstance(out[k], dict) and isinstance(v, dict):
+            out[k] = _deep_merge(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+# ---------------------------------------------------------------------------
+# defaults (mirroring the reference's schema defaults)
+# ---------------------------------------------------------------------------
+
+_CONVERGENCE_DEFAULTS = {
+    "type": "damped",
+    "stop_if_converged": False,
+    "fraction": 0.8,
+    "hold_iterations": 3,
+    "damping_constant": 1.0,
+    "threshold": 0.05,
+    "lock_t_inner_cycles": 1,
+    "t_inner_update_exponent": -0.5,
+    "t_inner": {"damping_constant": 0.5},
+    "t_rad": {"damping_constant": 0.5},
+    "w": {"damping_constant": 0.5},
+}
+
+_PLASMA_DEFAULTS = {
+    "ionization": "lte",
+    "excitation": "lte",
+    "radiative_rates_type": "dilute-blackbody",
+    "line_interaction_type": "scatter",
+    "disable_electron_scattering": False,
+    "disable_line_scattering": False,
+    "initial_t_inner": -1.0,
+    "initial_t_rad": -1.0,
+    "link_t_rad_t_electron": 0.9,
+    "w_epsilon": 1e-10,
+    "nlte": {"species": [], "coronal_approximation": False, "classical_nebular": False},
+    "continuum_interaction": {"species": []},
+    "helium_treatment": "none",
+}
+
+_MONTECARLO_DEFAULTS = {
+    "seed": 23111963,
+    "no_of_packets": 100000,
+    "iterations": 10,
+    "nthreads": 1,
+    "last_no_of_packets": -1,
+    "no_of_virtual_packets": 0,
+    "enable_full_relativity": False,
+    "enable_reflective_inner_boundary": False,
+    "inner_boundary_albedo": 0.0,
+    "tracking": {"track_rpacket": False, "initial_array_length": 10},
+    "virtual_spectrum_spawn_range": {"start": 0.0, "end": float("inf")},
+    "debug_packets": False,
+    # TPU-specific
+    "batch_size": 65536,
+}
+
+_SPECTRUM_DEFAULTS = {
+    "method": "real",
+    "integrated": {"points": 1000, "interpolate_shells": 0, "compute": "jax"},
+    "virtual": {"virtual_packet_logging": False},
+}
+
+
+def validate_config(raw: dict) -> ConfigDict:
+    """Inject defaults and normalize quantities; returns cgs config tree."""
+    cfg = dict(raw)
+    sn = cfg.get("supernova", {})
+    sn = {
+        "luminosity_requested": parse_quantity(sn.get("luminosity_requested", 0)),
+        "time_explosion": parse_quantity(sn["time_explosion"]),
+        "luminosity_wavelength_start": parse_quantity(
+            sn.get("luminosity_wavelength_start", 0.0)
+        ),
+        "luminosity_wavelength_end": parse_quantity(
+            sn.get("luminosity_wavelength_end", float("inf"))
+        ),
+    }
+
+    model = cfg.get("model", {})
+    structure = dict(model.get("structure", {}))
+    if structure.get("type", "specific") == "specific":
+        vel = structure["velocity"]
+        structure["velocity"] = {
+            "start": parse_quantity(vel["start"]),
+            "stop": parse_quantity(vel["stop"]),
+            "num": int(vel["num"]),
+        }
+        dens = dict(structure.get("density", {"type": "branch85_w7"}))
+        for key in ("w7_time_0", "time_0"):
+            if key in dens:
+                dens[key] = parse_quantity(dens[key])
+        for key in ("w7_rho_0", "rho_0", "value"):
+            if key in dens:
+                dens[key] = parse_quantity(dens[key])
+        for key in ("w7_v_0", "v_0"):
+            if key in dens:
+                dens[key] = parse_quantity(dens[key])
+        structure["density"] = dens
+    abund = dict(model.get("abundances", {"type": "uniform"}))
+
+    plasma = _deep_merge(_PLASMA_DEFAULTS, cfg.get("plasma", {}))
+    for key in ("initial_t_inner", "initial_t_rad"):
+        plasma[key] = parse_quantity(plasma[key])
+
+    mc = _deep_merge(_MONTECARLO_DEFAULTS, cfg.get("montecarlo", {}))
+    mc["convergence_strategy"] = _deep_merge(
+        _CONVERGENCE_DEFAULTS, mc.get("convergence_strategy", {})
+    )
+    mc["no_of_packets"] = int(float(mc["no_of_packets"]))
+    if mc["last_no_of_packets"] is None or float(mc["last_no_of_packets"]) <= 0:
+        mc["last_no_of_packets"] = mc["no_of_packets"]
+    mc["last_no_of_packets"] = int(float(mc["last_no_of_packets"]))
+    mc["iterations"] = int(mc["iterations"])
+
+    spec_raw = dict(cfg.get("spectrum", {}))
+    spectrum = _deep_merge(_SPECTRUM_DEFAULTS, spec_raw)
+    spectrum["start"] = parse_quantity(spec_raw.get("start", "500 angstrom"))
+    spectrum["stop"] = parse_quantity(spec_raw.get("stop", "20000 angstrom"))
+    spectrum["num"] = int(spec_raw.get("num", 10000))
+
+    out = {
+        "tardis_config_version": cfg.get("tardis_config_version", "v1.0"),
+        "supernova": sn,
+        "atom_data": cfg.get("atom_data", "synthetic"),
+        "model": {"structure": structure, "abundances": abund},
+        "plasma": plasma,
+        "montecarlo": mc,
+        "spectrum": spectrum,
+    }
+    return ConfigDict.deep(out)
+
+
+def config_from_yaml(path: str) -> ConfigDict:
+    with open(path) as fh:
+        raw = yaml.safe_load(fh)
+    return validate_config(raw)
+
+
+def config_from_dict(raw: dict) -> ConfigDict:
+    return validate_config(raw)

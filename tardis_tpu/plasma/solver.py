@@ -1,0 +1,249 @@
+"""Plasma assembly and per-iteration solve.
+
+The reference assembles a networkx DAG of plasma properties
+(/root/reference/tardis/plasma/assembly/base.py:30-340) and re-runs affected
+nodes on update.  Here the dependency structure is explicit: ``PlasmaSolver``
+precomputes all index maps once, and :meth:`update` recomputes the full LTE /
+dilute-LTE / nebular chain as a handful of vectorized array ops (cheap at
+shells x levels scale, and trivially correct to re-run wholesale).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from tardis_tpu.atomic.atom_data import AtomData
+from tardis_tpu.plasma import lte
+from tardis_tpu.model.state import SimulationState
+
+
+@dataclass
+class PlasmaState:
+    t_rad: np.ndarray  # (S,)
+    w: np.ndarray  # (S,)
+    t_electrons: np.ndarray  # (S,)
+    electron_densities: np.ndarray  # (S,)
+    ion_number_density: np.ndarray  # (I_tot, S)
+    level_number_density: np.ndarray  # (N, S)
+    partition_function: np.ndarray  # (Sp, S)
+    tau_sobolev: np.ndarray  # (L, S)
+    stimulated_emission_factor: np.ndarray  # (L, S)
+    beta_sobolev: np.ndarray  # (L, S)
+    j_blues: np.ndarray  # (L, S)
+
+
+class PlasmaSolver:
+    """LTE/dilute-LTE/nebular plasma solver over flat atomic arrays."""
+
+    def __init__(
+        self,
+        atom_data: AtomData,
+        simulation_state: SimulationState,
+        ionization: str = "lte",
+        excitation: str = "lte",
+        radiative_rates_type: str = "dilute-blackbody",
+        link_t_rad_t_electron: float = 0.9,
+        w_epsilon: float = 1e-10,
+        electron_densities: np.ndarray | None = None,
+    ):
+        assert ionization in ("lte", "nebular")
+        assert excitation in ("lte", "dilute-lte")
+        assert radiative_rates_type in (
+            "blackbody",
+            "dilute-blackbody",
+            "detailed",
+        )
+        self.atom = atom_data
+        self.ionization = ionization
+        self.excitation = excitation
+        self.radiative_rates_type = radiative_rates_type
+        self.link_t_rad_t_electron = link_t_rad_t_electron
+        self.w_epsilon = w_epsilon
+        self.time_explosion = simulation_state.time_explosion
+        self._fixed_electron_densities = electron_densities
+
+        self._build_index_maps(simulation_state)
+
+    # ------------------------------------------------------------------
+    def _build_index_maps(self, state: SimulationState):
+        atom = self.atom
+        n_species = len(atom.species_z)
+        # species lookup (Z, ion) -> species id
+        self._species_lookup = {
+            (int(z), int(i)): s
+            for s, (z, i) in enumerate(zip(atom.species_z, atom.species_ion))
+        }
+        # elements: intersection of composition and atomic data
+        comp = state.composition
+        present = [
+            (e, z)
+            for e, z in enumerate(comp.atomic_numbers)
+            if np.any(atom.species_z == z)
+        ]
+        self.element_z = np.array([z for _, z in present], dtype=np.int64)
+        comp_rows = np.array([e for e, _ in present], dtype=np.int64)
+        masses = np.array(
+            [
+                atom.masses[np.searchsorted(atom.atomic_numbers, z)]
+                for z in self.element_z
+            ]
+        )
+        # (E, S) element number densities, aligned with self.element_z
+        self.number_density = (
+            comp.mass_fractions[comp_rows]
+            * comp.density[None, :]
+            / masses[:, None]
+        )
+
+        # ionization ladder: for each element, consecutive species pairs
+        ion_lookup = {
+            (int(z), int(j)): chi
+            for z, j, chi in zip(
+                atom.ionization_z, atom.ionization_ion, atom.ionization_energy
+            )
+        }
+        pairs_upper, pairs_lower, pair_chi = [], [], []
+        block_start = [0]
+        species_ion_row = np.full(n_species, -1, dtype=np.int64)
+        for e, z in enumerate(self.element_z):
+            stages = sorted(
+                int(i) for i in atom.species_ion[atom.species_z == z]
+            )
+            # require a contiguous ladder from the lowest stage
+            for j0, j1 in zip(stages[:-1], stages[1:]):
+                assert j1 == j0 + 1, f"non-contiguous ion stages for Z={z}"
+                pairs_lower.append(self._species_lookup[(int(z), j0)])
+                pairs_upper.append(self._species_lookup[(int(z), j1)])
+                pair_chi.append(ion_lookup[(int(z), j1)])
+            block_start.append(len(pairs_upper))
+        self.pair_upper = np.array(pairs_upper, dtype=np.int64)
+        self.pair_lower = np.array(pairs_lower, dtype=np.int64)
+        self.pair_chi = np.array(pair_chi, dtype=np.float64)
+        self.element_block_start = np.array(block_start, dtype=np.int64)
+
+        # ion-density row for each species (stage offset within element block)
+        ion_row = {}
+        for e, z in enumerate(self.element_z):
+            stages = sorted(
+                int(i) for i in atom.species_ion[atom.species_z == z]
+            )
+            base = self.element_block_start[e] + e  # ion_block_start[e]
+            for k, j in enumerate(stages):
+                ion_row[(int(z), j)] = base + k
+        self.species_ion_row = np.array(
+            [
+                ion_row[(int(z), int(i))]
+                for z, i in zip(atom.species_z, atom.species_ion)
+            ],
+            dtype=np.int64,
+        )
+
+        # zeta interpolators per ionization pair (for nebular)
+        self._zeta_tables = None
+        if self.ionization == "nebular":
+            tables = []
+            for e, z in enumerate(self.element_z):
+                stages = sorted(
+                    int(i) for i in atom.species_ion[atom.species_z == z]
+                )
+                for j in stages[1:]:
+                    zd = (atom.zeta_data or {}).get((int(z), j))
+                    tables.append(zd)
+            self._zeta_tables = tables
+
+    # ------------------------------------------------------------------
+    def _zeta(self, t_rad: np.ndarray) -> np.ndarray:
+        out = np.ones((len(self.pair_chi), len(t_rad)))
+        for i, zd in enumerate(self._zeta_tables):
+            if zd is None:
+                continue
+            ts, vals = zd
+            out[i] = np.interp(t_rad, ts, vals, left=np.nan, right=np.nan)
+        out[np.isnan(out)] = 1.0
+        return out
+
+    # ------------------------------------------------------------------
+    def update(
+        self,
+        t_rad: np.ndarray,
+        w: np.ndarray,
+        j_blues: np.ndarray | None = None,
+    ) -> PlasmaState:
+        """Recompute the plasma state for the given radiation field.
+
+        ``j_blues`` (L, S) is only used when radiative_rates_type='detailed'
+        (estimator-derived mean intensities at the line blue wings).
+        """
+        atom = self.atom
+        beta = lte.beta_rad(t_rad)
+        t_electrons = self.link_t_rad_t_electron * t_rad
+        beta_el = lte.beta_rad(t_electrons)
+
+        w_excitation = w if self.excitation == "dilute-lte" else None
+        bf = lte.level_boltzmann_factor(
+            atom.level_energy, atom.level_g, atom.level_meta, beta, w_excitation
+        )
+        z_part = lte.partition_function(
+            bf, atom.level_species_id, len(atom.species_z)
+        )
+        g_el = lte.g_electron(beta)
+        phi = lte.phi_saha_lte(
+            g_el, beta, z_part, self.pair_chi, self.pair_upper, self.pair_lower
+        )
+        if self.ionization == "nebular":
+            delta = lte.radiation_field_correction(
+                self.pair_chi, w, t_rad, t_electrons, beta, beta_el
+            )
+            zeta = self._zeta(t_rad)
+            phi = lte.phi_saha_nebular(phi, w, zeta, delta, t_rad, t_electrons)
+
+        ion_density, n_e, _ = lte.ion_number_density(
+            phi,
+            self.element_block_start,
+            self.number_density,
+            electron_densities=self._fixed_electron_densities,
+        )
+        ion_per_species = ion_density[self.species_ion_row]
+        n_level = lte.level_number_density(
+            bf, z_part, ion_per_species, atom.level_species_id
+        )
+
+        n_lower = n_level[atom.line_lower_idx]
+        n_upper = n_level[atom.line_upper_idx]
+        g_lower = atom.level_g[atom.line_lower_idx]
+        g_upper = atom.level_g[atom.line_upper_idx]
+        stim = lte.stimulated_emission_factor(n_lower, n_upper, g_lower, g_upper)
+        tau = lte.tau_sobolev(
+            atom.line_wavelength_cm,
+            atom.line_f_lu,
+            self.time_explosion,
+            n_lower,
+            stim,
+        )
+        beta_sob = lte.beta_sobolev(tau)
+
+        if self.radiative_rates_type == "detailed" and j_blues is not None:
+            planck = lte.dilute_planck_j_blues(atom.line_nu, t_rad, w)
+            jb = np.where(j_blues > 0, j_blues, self.w_epsilon * planck)
+        elif self.radiative_rates_type == "blackbody":
+            jb = lte.intensity_black_body(
+                atom.line_nu[:, None], t_rad[None, :]
+            ) * np.ones_like(w)[None, :]
+        else:  # dilute-blackbody
+            jb = lte.dilute_planck_j_blues(atom.line_nu, t_rad, w)
+
+        return PlasmaState(
+            t_rad=t_rad,
+            w=w,
+            t_electrons=t_electrons,
+            electron_densities=n_e,
+            ion_number_density=ion_density,
+            level_number_density=n_level,
+            partition_function=z_part,
+            tau_sobolev=tau,
+            stimulated_emission_factor=stim,
+            beta_sobolev=beta_sob,
+            j_blues=jb,
+        )

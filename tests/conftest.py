@@ -1,0 +1,33 @@
+"""Test configuration: run JAX on CPU with 8 virtual devices.
+
+This is the TPU-native analogue of the reference's thread-count-invariance
+testing (SURVEY.md §4): multi-device sharding is validated on a virtual CPU
+mesh via XLA_FLAGS=--xla_force_host_platform_device_count.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+from tardis_tpu.atomic.synthetic import make_synthetic_atom_data
+
+
+@pytest.fixture(scope="session")
+def atom_data():
+    return make_synthetic_atom_data()
+
+
+@pytest.fixture(scope="session")
+def atom_data_prepared(atom_data):
+    return atom_data.prepare(
+        selected_atoms=[8, 12, 14, 16, 18, 20],
+        line_interaction_type="macroatom",
+    )

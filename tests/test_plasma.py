@@ -1,0 +1,159 @@
+"""Unit tests for the plasma chain: partition functions, Saha, ion balance,
+tau_sobolev.  Analytic cross-checks mirror the reference's plasma tests
+(/root/reference/tardis/plasma/tests/)."""
+
+import numpy as np
+import pytest
+
+from tardis_tpu.atomic.synthetic import make_synthetic_atom_data
+from tardis_tpu.config.reader import config_from_dict
+from tardis_tpu.model.state import SimulationState
+from tardis_tpu.plasma import lte
+from tardis_tpu.plasma.solver import PlasmaSolver
+from tardis_tpu.constants import K_B, H, M_E
+
+
+BASE_CONFIG = {
+    "supernova": {
+        "luminosity_requested": "9.44 log_lsun",
+        "time_explosion": "13 day",
+    },
+    "atom_data": "synthetic",
+    "model": {
+        "structure": {
+            "type": "specific",
+            "velocity": {"start": "1.1e4 km/s", "stop": "20000 km/s", "num": 20},
+            "density": {"type": "branch85_w7"},
+        },
+        "abundances": {
+            "type": "uniform",
+            "O": 0.19,
+            "Mg": 0.03,
+            "Si": 0.52,
+            "S": 0.19,
+            "Ar": 0.04,
+            "Ca": 0.03,
+        },
+    },
+    "plasma": {"ionization": "lte", "excitation": "lte"},
+    "montecarlo": {"seed": 23111963, "no_of_packets": 1000, "iterations": 2},
+    "spectrum": {"start": "500 angstrom", "stop": "20000 angstrom", "num": 200},
+}
+
+
+@pytest.fixture(scope="module")
+def sim_state():
+    cfg = config_from_dict(BASE_CONFIG)
+    return SimulationState.from_config(cfg)
+
+
+@pytest.fixture(scope="module")
+def plasma_state(sim_state, atom_data_prepared):
+    solver = PlasmaSolver(atom_data_prepared, sim_state)
+    return solver.update(sim_state.t_radiative, sim_state.dilution_factor)
+
+
+def test_simulation_state_basics(sim_state):
+    assert sim_state.no_of_shells == 20
+    assert sim_state.t_inner > 5000
+    # t_rad decreases outward (Wien scaling)
+    assert np.all(np.diff(sim_state.t_radiative) < 0)
+    # geometric dilution factor < 0.5 and decreasing
+    assert np.all(sim_state.dilution_factor < 0.5)
+    assert np.all(np.diff(sim_state.dilution_factor) < 0)
+    # densities: branch85_w7 scaled to 13 days, decreasing outward
+    assert np.all(np.diff(sim_state.composition.density) < 0)
+
+
+def test_partition_function_two_level():
+    """Analytic two-level partition function."""
+    energy = np.array([0.0, 1.0e-12])
+    g = np.array([2.0, 4.0])
+    meta = np.array([True, True])
+    t = np.array([10000.0])
+    beta = lte.beta_rad(t)
+    bf = lte.level_boltzmann_factor(energy, g, meta, beta)
+    z = lte.partition_function(bf, np.array([0, 0]), 1)
+    expected = 2.0 + 4.0 * np.exp(-1.0e-12 / (K_B * 10000.0))
+    np.testing.assert_allclose(z[0, 0], expected, rtol=1e-12)
+
+
+def test_saha_hydrogenic_ionization_fraction():
+    """Saha equation for a pure-H-like gas against direct evaluation."""
+    chi = np.array([2.18e-11])  # ~13.6 eV
+    t = np.array([15000.0])
+    beta = lte.beta_rad(t)
+    g_el = lte.g_electron(beta)
+    z_part = np.array([[2.0], [1.0]])  # neutral g=2, ion g=1
+    phi = lte.phi_saha_lte(
+        g_el, beta, z_part, chi, np.array([1]), np.array([0])
+    )
+    expected = (
+        (1.0 / 2.0)
+        * 2.0
+        * (2 * np.pi * M_E * K_B * 15000.0 / H**2) ** 1.5
+        * np.exp(-chi[0] / (K_B * 15000.0))
+    )
+    np.testing.assert_allclose(phi[0, 0], expected, rtol=1e-10)
+
+    # ion balance: n_H n_e / n_H0 = phi must hold at the fixpoint
+    number_density = np.array([[1e10]])
+    ion_density, n_e, blocks = lte.ion_number_density(
+        phi, np.array([0, 1]), number_density,
+        n_e_convergence_threshold=1e-10,
+    )
+    n0, n1 = ion_density[0, 0], ion_density[1, 0]
+    np.testing.assert_allclose(n1 * n_e[0] / n0, phi[0, 0], rtol=1e-6)
+    np.testing.assert_allclose(n0 + n1, 1e10, rtol=1e-10)
+    np.testing.assert_allclose(n_e[0], n1, rtol=1e-6)
+
+
+def test_ion_balance_charge_and_mass_conservation(plasma_state, sim_state):
+    ps = plasma_state
+    assert np.all(ps.electron_densities > 0)
+    assert np.all(ps.ion_number_density >= 0)
+    assert np.all(ps.level_number_density >= 0)
+
+
+def test_tau_sobolev_shapes_and_positivity(plasma_state, atom_data_prepared):
+    L = atom_data_prepared.n_lines
+    S = 20
+    assert plasma_state.tau_sobolev.shape == (L, S)
+    assert np.all(plasma_state.tau_sobolev >= 0)
+    assert np.all(plasma_state.beta_sobolev > 0)
+    assert np.all(plasma_state.beta_sobolev <= 1.0 + 1e-12)
+    # j_blues: dilute planck positive
+    assert np.all(plasma_state.j_blues > 0)
+
+
+def test_beta_sobolev_branches():
+    tau = np.array([1e-8, 1e-5, 0.1, 1.0, 10.0, 1e4])
+    beta = lte.beta_sobolev(tau)
+    expected = np.where(
+        tau < 1e-30, 1.0, -np.expm1(-tau) / np.maximum(tau, 1e-300)
+    )
+    np.testing.assert_allclose(beta, expected, rtol=1e-3)
+
+
+def test_dilute_lte_excitation_reduces_excited_levels(sim_state, atom_data_prepared):
+    solver_lte = PlasmaSolver(atom_data_prepared, sim_state, excitation="lte")
+    solver_dil = PlasmaSolver(
+        atom_data_prepared, sim_state, excitation="dilute-lte"
+    )
+    t = sim_state.t_radiative
+    w = np.full_like(t, 0.3)
+    ps_lte = solver_lte.update(t, w)
+    ps_dil = solver_dil.update(t, w)
+    atom = atom_data_prepared
+    nonmeta = ~atom.level_meta
+    # ratio of excited (non-metastable) to ground populations must drop by ~W
+    frac_lte = ps_lte.level_number_density[nonmeta].sum()
+    frac_dil = ps_dil.level_number_density[nonmeta].sum()
+    assert frac_dil < frac_lte
+
+
+def test_nebular_ionization_runs(sim_state, atom_data_prepared):
+    solver = PlasmaSolver(atom_data_prepared, sim_state, ionization="nebular")
+    ps = solver.update(sim_state.t_radiative, sim_state.dilution_factor)
+    assert np.all(np.isfinite(ps.electron_densities))
+    assert np.all(ps.electron_densities > 0)
