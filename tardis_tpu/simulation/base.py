@@ -1,0 +1,302 @@
+"""Simulation orchestration: the outer convergence loop.
+
+TPU-native counterpart of the reference's ``Simulation``
+(/root/reference/tardis/simulation/base.py:103-812): alternates a plasma
+solve, a Monte Carlo transport iteration, estimator inversion, and damped
+radiation-field updates until converged, then runs a final high-statistics
+iteration that produces spectra.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from tardis_tpu.atomic.hdf_loader import atom_data_from_hdf
+from tardis_tpu.atomic.synthetic import make_synthetic_atom_data
+from tardis_tpu.config.reader import ConfigDict
+from tardis_tpu.model.state import SimulationState
+from tardis_tpu.plasma.solver import PlasmaSolver
+from tardis_tpu.simulation.convergence import (
+    ConvergenceState,
+    make_convergence_solvers,
+)
+from tardis_tpu.spectrum.base import (
+    Spectrum,
+    filtered_luminosity,
+    frequency_grid,
+    real_packet_spectrum,
+)
+from tardis_tpu.transport.solver import (
+    TransportResult,
+    TransportSolver,
+    solve_radiation_field,
+)
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class IterationRecord:
+    """Per-iteration plasma/radiation state (cf. PlasmaStateStorerMixin,
+    reference simulation/base.py:42-100)."""
+
+    t_radiative: np.ndarray
+    dilution_factor: np.ndarray
+    t_inner: float
+    electron_densities: np.ndarray
+    emitted_luminosity: float
+    reabsorbed_luminosity: float
+
+
+class Simulation:
+    def __init__(
+        self,
+        config: ConfigDict,
+        simulation_state: SimulationState,
+        atom_data,
+        plasma_solver: PlasmaSolver,
+        transport_solver: TransportSolver,
+    ):
+        self.config = config
+        self.state = simulation_state
+        self.atom_data = atom_data
+        self.plasma_solver = plasma_solver
+        self.transport = transport_solver
+
+        mc = config.montecarlo
+        self.iterations = mc.iterations
+        self.no_of_packets = mc.no_of_packets
+        self.last_no_of_packets = mc.last_no_of_packets
+        self.seed = mc.seed
+        strategy = mc.convergence_strategy
+        self.convergence_solvers = make_convergence_solvers(strategy)
+        self.convergence_state = ConvergenceState(
+            hold_iterations=int(strategy.get("hold_iterations", 3))
+        )
+        self.stop_if_converged = bool(strategy.get("stop_if_converged", False))
+        self.lock_t_inner_cycles = int(strategy.get("lock_t_inner_cycles", 1))
+        self.t_inner_update_exponent = float(
+            strategy.get("t_inner_update_exponent", -0.5)
+        )
+
+        sn = config.supernova
+        self.lum_wavelength_start = sn.get("luminosity_wavelength_start", 0.0)
+        self.lum_wavelength_end = sn.get(
+            "luminosity_wavelength_end", float("inf")
+        )
+
+        self.plasma_state = None
+        self.history: list[IterationRecord] = []
+        self.iterations_executed = 0
+        self.last_transport_result: TransportResult | None = None
+        self.spectrum_real: Spectrum | None = None
+        self.spectrum_virtual: Spectrum | None = None
+        self.spectrum_integrated: Spectrum | None = None
+
+        spec = config.spectrum
+        self.spectrum_nu_edges = frequency_grid(
+            spec.start, spec.stop, spec.num
+        )
+
+        self._callbacks = []
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_config(cls, config: ConfigDict, atom_data=None) -> "Simulation":
+        state = SimulationState.from_config(config)
+        line_interaction_type = config.plasma.line_interaction_type
+        if atom_data is None:
+            path = config.atom_data
+            if path in (None, "synthetic"):
+                atom_data = make_synthetic_atom_data()
+            else:
+                atom_data = atom_data_from_hdf(path)
+        if atom_data.species_z is None:
+            atom_data = atom_data.prepare(
+                selected_atoms=list(state.composition.atomic_numbers),
+                line_interaction_type=line_interaction_type,
+            )
+
+        plasma_solver = PlasmaSolver(
+            atom_data,
+            state,
+            ionization=config.plasma.ionization,
+            excitation=config.plasma.excitation,
+            radiative_rates_type=config.plasma.radiative_rates_type,
+            link_t_rad_t_electron=config.plasma.get(
+                "link_t_rad_t_electron", 0.9
+            ),
+            w_epsilon=config.plasma.get("w_epsilon", 1e-10),
+        )
+        transport_solver = TransportSolver(
+            line_interaction_type=line_interaction_type,
+            disable_electron_scattering=config.plasma.get(
+                "disable_electron_scattering", False
+            ),
+            disable_line_scattering=config.plasma.get(
+                "disable_line_scattering", False
+            ),
+            batch_size=config.montecarlo.get("batch_size", 65536),
+        )
+        return cls(config, state, atom_data, plasma_solver, transport_solver)
+
+    # ------------------------------------------------------------------
+    def add_callback(self, fn):
+        """fn(simulation) called after each iteration
+        (cf. reference run_tardis callbacks, tardis/base.py:70-100)."""
+        self._callbacks.append(fn)
+
+    def _solve_plasma(self, estimator_j_blues=None):
+        self.plasma_state = self.plasma_solver.update(
+            self.state.t_radiative,
+            self.state.dilution_factor,
+            j_blues=estimator_j_blues,
+        )
+
+    # ------------------------------------------------------------------
+    def iterate(self, n_packets: int, iteration: int) -> TransportResult:
+        """One plasma solve + MC transport run
+        (reference simulation/base.py:419-490)."""
+        if self.plasma_state is None:
+            self._solve_plasma()
+        result = self.transport.run_iteration(
+            self.state,
+            self.plasma_state,
+            self.atom_data,
+            n_packets=n_packets,
+            seed=self.seed,
+            iteration=iteration,
+        )
+        self.last_transport_result = result
+        return result
+
+    def advance_state(self, result: TransportResult, iteration: int) -> bool:
+        """Invert estimators, check convergence, apply damped updates,
+        re-solve plasma (reference simulation/base.py:270-417)."""
+        est_t_rad, est_w, est_j_blues = solve_radiation_field(
+            result, self.state, self.atom_data,
+            w_epsilon=self.plasma_solver.w_epsilon,
+        )
+        emitted = filtered_luminosity(
+            result.output_nu,
+            result.output_energy,
+            result.emitted_mask,
+            result.time_of_simulation,
+            self.lum_wavelength_start,
+            self.lum_wavelength_end,
+        )
+        reabsorbed = filtered_luminosity(
+            result.output_nu,
+            result.output_energy,
+            result.output_status == 2,
+            result.time_of_simulation,
+        )
+        est_t_inner = self.state.t_inner * (
+            emitted / self.state.luminosity_requested
+        ) ** self.t_inner_update_exponent
+
+        solvers = self.convergence_solvers
+        t_rad_conv = solvers["t_rad"].get_convergence_status(
+            self.state.t_radiative, est_t_rad, self.state.no_of_shells
+        )
+        w_conv = solvers["w"].get_convergence_status(
+            self.state.dilution_factor, est_w, self.state.no_of_shells
+        )
+        t_inner_conv = solvers["t_inner"].get_convergence_status(
+            self.state.t_inner, est_t_inner, 1
+        )
+        converged = self.convergence_state.update(
+            t_rad_conv and w_conv and t_inner_conv
+        )
+
+        # damped updates
+        self.state.t_radiative = solvers["t_rad"].converge(
+            self.state.t_radiative, est_t_rad
+        )
+        self.state.dilution_factor = solvers["w"].converge(
+            self.state.dilution_factor, est_w
+        )
+        if (iteration + 1) % self.lock_t_inner_cycles == 0:
+            self.state.t_inner = float(
+                solvers["t_inner"].converge(self.state.t_inner, est_t_inner)
+            )
+
+        self.history.append(
+            IterationRecord(
+                t_radiative=self.state.t_radiative.copy(),
+                dilution_factor=self.state.dilution_factor.copy(),
+                t_inner=self.state.t_inner,
+                electron_densities=(
+                    self.plasma_state.electron_densities.copy()
+                ),
+                emitted_luminosity=emitted,
+                reabsorbed_luminosity=reabsorbed,
+            )
+        )
+        logger.info(
+            "iteration %d: L_emitted=%.4e L_requested=%.4e t_inner=%.1f",
+            iteration,
+            emitted,
+            self.state.luminosity_requested,
+            self.state.t_inner,
+        )
+
+        detailed = (
+            self.plasma_solver.radiative_rates_type == "detailed"
+        )
+        self._solve_plasma(estimator_j_blues=est_j_blues if detailed else None)
+        return converged
+
+    # ------------------------------------------------------------------
+    def run_convergence(self):
+        """The main convergence loop (reference simulation/base.py:492-523)."""
+        for iteration in range(self.iterations - 1):
+            result = self.iterate(self.no_of_packets, iteration)
+            converged = self.advance_state(result, iteration)
+            self.iterations_executed += 1
+            for cb in self._callbacks:
+                cb(self)
+            if converged and self.stop_if_converged:
+                break
+        return self
+
+    def run_final(self):
+        """Final high-statistics iteration + spectra
+        (reference simulation/base.py:525-570)."""
+        iteration = self.iterations_executed
+        result = self.iterate(self.last_no_of_packets, iteration)
+        self.iterations_executed += 1
+        self.spectrum_real = real_packet_spectrum(
+            result.output_nu,
+            result.output_energy,
+            result.emitted_mask,
+            self.spectrum_nu_edges,
+            result.time_of_simulation,
+        )
+        for cb in self._callbacks:
+            cb(self)
+        return self
+
+    def run(self):
+        self.run_convergence()
+        self.run_final()
+        return self
+
+
+def run_tardis(config_or_path, atom_data=None, callbacks=()) -> Simulation:
+    """Top-level API (reference tardis/base.py:10-126)."""
+    from tardis_tpu.config.reader import config_from_dict, config_from_yaml
+
+    if isinstance(config_or_path, (str,)):
+        config = config_from_yaml(config_or_path)
+    elif isinstance(config_or_path, ConfigDict):
+        config = config_or_path
+    else:
+        config = config_from_dict(config_or_path)
+    sim = Simulation.from_config(config, atom_data=atom_data)
+    for cb in callbacks:
+        sim.add_callback(cb)
+    return sim.run()

@@ -1,0 +1,93 @@
+"""Spectrum synthesis from transport outputs.
+
+Counterpart of the reference's ``SpectrumSolver`` / ``TARDISSpectrum``
+(/root/reference/tardis/spectrum/base.py:14-135, spectrum/spectrum.py:9):
+real-packet and virtual-packet histogram spectra on a uniform frequency grid,
+plus f_lambda conversions and luminosity integrals.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from tardis_tpu.constants import C
+
+
+@dataclass
+class Spectrum:
+    """Luminosity density spectrum L_nu on a uniform nu grid."""
+
+    nu_edges: np.ndarray  # (M+1,) Hz ascending
+    luminosity_nu: np.ndarray  # (M,) erg s^-1 Hz^-1
+
+    @property
+    def nu(self) -> np.ndarray:
+        return 0.5 * (self.nu_edges[:-1] + self.nu_edges[1:])
+
+    @property
+    def delta_nu(self) -> np.ndarray:
+        return np.diff(self.nu_edges)
+
+    @property
+    def wavelength(self) -> np.ndarray:
+        """Bin-center wavelengths [cm], descending in nu order."""
+        return C / self.nu
+
+    @property
+    def luminosity(self) -> float:
+        return float((self.luminosity_nu * self.delta_nu).sum())
+
+    @property
+    def luminosity_lambda(self) -> np.ndarray:
+        """L_lambda [erg s^-1 cm^-1] on the same bins."""
+        return self.luminosity_nu * self.nu**2 / C
+
+    def to_flux(self, distance_cm: float) -> np.ndarray:
+        """F_nu at a given distance."""
+        return self.luminosity_nu / (4.0 * np.pi * distance_cm**2)
+
+
+def frequency_grid(lambda_start_cm: float, lambda_end_cm: float, num: int):
+    """Uniform nu grid spanning the requested wavelength range.
+
+    (reference SpectrumSolver.from_config builds spectrum_frequency from the
+    lambda range, spectrum/base.py:190-210)
+    """
+    nu_start = C / lambda_end_cm
+    nu_end = C / lambda_start_cm
+    return np.linspace(nu_start, nu_end, num + 1)
+
+
+def real_packet_spectrum(
+    output_nu: np.ndarray,
+    output_energy: np.ndarray,
+    emitted_mask: np.ndarray,
+    nu_edges: np.ndarray,
+    time_of_simulation: float,
+) -> Spectrum:
+    """Histogram emitted packets into L_nu."""
+    hist, _ = np.histogram(
+        output_nu[emitted_mask],
+        bins=nu_edges,
+        weights=output_energy[emitted_mask],
+    )
+    l_nu = hist / time_of_simulation / np.diff(nu_edges)
+    return Spectrum(nu_edges=nu_edges, luminosity_nu=l_nu)
+
+
+def filtered_luminosity(
+    output_nu: np.ndarray,
+    output_energy: np.ndarray,
+    mask: np.ndarray,
+    time_of_simulation: float,
+    lambda_start_cm: float = 0.0,
+    lambda_end_cm: float = np.inf,
+) -> float:
+    """Luminosity of packets inside a wavelength window
+    (reference spectrum/luminosity.py:5)."""
+    nu_min = C / lambda_end_cm if lambda_end_cm > 0 else 0.0
+    nu_max = C / lambda_start_cm if lambda_start_cm > 0 else np.inf
+    m = mask & (output_nu > nu_min) & (output_nu < nu_max)
+    return float(output_energy[m].sum() / time_of_simulation)

@@ -1,0 +1,455 @@
+"""Batched Monte Carlo packet-transport kernel (single device).
+
+TPU-native redesign of the reference's per-packet event loop
+(/root/reference/tardis/transport/montecarlo/modes/classic/packet_propagation.py:51
+ and modes/homologous_rad_packet_transport.py:32).  Key differences:
+
+1. **Lockstep events**: a fixed-size batch of B packet "slots" advances one
+   event per step inside a single ``lax.while_loop``; dead slots are refilled
+   from the unborn-packet pool so VPU lanes stay busy (persistent-threads
+   pattern instead of the reference's prange over packets).
+2. **Binary-searched line walk**: the combined optical depth to line i,
+   g(i) = dC(i) + chi_e * s(i), is monotone in i (homologous flow), so the
+   event line is a 20-step batched binary search over two-float prefix sums —
+   replacing the reference's hottest loop (linear line walk).
+3. **Difference-array line estimators**: the per-line j_blue/e_dot increments
+   for a crossed range [a, b) are E*nu_i/nu^2 and E*nu_i/nu — separable in i —
+   so each event does two scatter-adds into a difference array; the per-line
+   estimator is recovered at end of iteration as nu_i * cumsum(diff)
+   (replacing estimators/radfield_estimator_calcs.py:128-170's per-line adds).
+4. **Counter-based RNG**: every draw derives from
+   (base_key, packet_id, event_idx, tag) — reproducible across batch sizes and
+   device counts (replacing np.random.seed(packet.seed), modes/
+   montecarlo_transport.py:65).
+
+Scaled units (see device_state.py): lengths / (c t_exp), frequencies / 1e15 Hz,
+energies in packet birth units.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from tardis_tpu.transport.device_state import (
+    LINE_SCATTER,
+    TransportStaticConfig,
+    TransportTables,
+)
+from tardis_tpu.utils.twofloat import df32_diff
+
+F32 = jnp.float32
+I32 = jnp.int32
+
+STATUS_IN_PROCESS = 0
+STATUS_EMITTED = 1
+STATUS_REABSORBED = 2
+
+# RNG draw tags
+_TAG_TAU = 0
+_TAG_MU = 1
+_TAG_MACRO = 8  # + jump index
+
+
+class TransportCarry(NamedTuple):
+    # slot state (B,)
+    r: jnp.ndarray
+    mu: jnp.ndarray
+    nu: jnp.ndarray  # lab frame, scaled
+    energy: jnp.ndarray
+    shell: jnp.ndarray  # i32
+    next_line: jnp.ndarray  # i32
+    pkt_id: jnp.ndarray  # i32
+    event_idx: jnp.ndarray  # i32
+    alive: jnp.ndarray  # bool
+    # pool pointer
+    next_unborn: jnp.ndarray  # i32 scalar
+    # estimators
+    est_j: jnp.ndarray  # (S,)
+    est_nubar: jnp.ndarray  # (S,)
+    jblue_diff: jnp.ndarray  # ((L+1)*S,)
+    edot_diff: jnp.ndarray  # ((L+1)*S,)
+    # outputs (N,)
+    out_nu: jnp.ndarray
+    out_energy: jnp.ndarray
+    out_status: jnp.ndarray  # i8
+    # diagnostics
+    n_steps: jnp.ndarray  # i32 scalar
+    n_events: jnp.ndarray  # i64-ish f32 accumulator
+
+
+def _uniform_from_key(keys, tag):
+    """Per-slot uniform in (0,1): keys (B,2) u32 -> (B,) f32."""
+
+    def one(k):
+        return jax.random.uniform(
+            jax.random.fold_in(k, tag), (), dtype=F32, minval=1e-9, maxval=1.0
+        )
+
+    return jax.vmap(one)(keys)
+
+
+def _bsearch_first_true(pred_fn, lo, hi, n_bits):
+    """Vectorized first-true binary search on a monotone predicate.
+
+    Returns smallest i in [lo, hi) with pred(i); hi if none.  The loop is
+    unrolled (n_bits is ~log2(L), small) — unrolled compare/select chains
+    both trace and run faster than lax.scan/fori on TPU.
+    """
+    for _ in range(n_bits):
+        active = lo < hi
+        mid = (lo + hi) >> 1
+        p = pred_fn(jnp.maximum(mid, 0))
+        lo = jnp.where(active & ~p, mid + 1, lo)
+        hi = jnp.where(active & p, mid, hi)
+    return lo
+
+
+def _distance_boundary(r, mu, r_in, r_out):
+    """Distance to shell boundary + shell index delta.
+
+    (reference transport/geometry/calculate_distances.py:25-61)
+    """
+    out_d = jnp.sqrt(
+        jnp.maximum(r_out * r_out + (mu * mu - 1.0) * r * r, 0.0)
+    ) - r * mu
+    check = r_in * r_in + r * r * (mu * mu - 1.0)
+    hits_inner = (mu <= 0.0) & (check >= 0.0)
+    in_d = -r * mu - jnp.sqrt(jnp.maximum(check, 0.0))
+    distance = jnp.where(hits_inner, in_d, out_d)
+    delta = jnp.where(hits_inner, -1, 1).astype(I32)
+    return jnp.maximum(distance, 0.0), delta
+
+
+def _macro_walk(tables, static, i_event, shell, keys, is_line):
+    """Macro-atom / downbranch emission-line selection.
+
+    Replaces the RNG probability walk of macro_atom_interaction
+    (reference transport/montecarlo/macro_atom.py:52-104) with bounded jumps,
+    each sampling a transition by binary search over the block's cumulative
+    probabilities.
+    """
+    S = static.n_shells
+    level = tables.line2macro[jnp.clip(i_event, 0, static.n_lines - 1)]
+    em_line = i_event  # fallback: resonant scatter
+    done = ~is_line
+
+    def cond(state):
+        jump, level, em_line, done = state
+        return (jump < static.max_macro_jumps) & ~jnp.all(done)
+
+    def jump_body(state):
+        jump, level, em_line, done = state
+        u = _uniform_from_key(keys, _TAG_MACRO + jump)
+        b0 = tables.macro_block_start[level]
+        b1 = tables.macro_block_start[level + 1]
+
+        def pred(t):
+            return tables.macro_cum_prob[t * S + shell] >= u
+
+        t = _bsearch_first_true(pred, b0, b1, static.macro_block_bits)
+        t = jnp.clip(t, b0, jnp.maximum(b1 - 1, b0))
+        emit = tables.macro_emit[t]
+        em_line = jnp.where(~done & emit, tables.macro_line[t], em_line)
+        level = jnp.where(~done & ~emit, tables.macro_dest[t], level)
+        done = done | emit
+        return jump + 1, level, em_line, done
+
+    _, level, em_line, done = lax.while_loop(
+        cond, jump_body, (jnp.zeros((), I32), level, em_line, done)
+    )
+    return em_line
+
+
+def make_transport_step(
+    tables: TransportTables,
+    static: TransportStaticConfig,
+    pool_mu,
+    pool_nu_cmf,
+    n_packets: int,
+    base_key,
+):
+    """Build the per-event step function for lax.while_loop."""
+    S = static.n_lines and static.n_shells  # noqa - readability below
+    S = static.n_shells
+    L = static.n_lines
+    beta_inner = tables.r_inner[0]
+    macro_cum_flat = tables.macro_cum_prob.reshape(-1)
+    tables = tables._replace(macro_cum_prob=macro_cum_flat)
+
+    def count_gt(nu_thresh):
+        """Number of lines with nu_i > nu_thresh (descending list)."""
+        return jnp.searchsorted(
+            tables.neg_line_nu, -nu_thresh, side="left"
+        ).astype(I32)
+
+    def step(carry: TransportCarry) -> TransportCarry:
+        # ------------------------------------------------ 1. refill
+        dead = ~carry.alive
+        order = jnp.cumsum(dead.astype(I32))
+        new_ids = carry.next_unborn + order - 1
+        can_fill = dead & (new_ids < n_packets)
+        ids_c = jnp.clip(new_ids, 0, n_packets - 1)
+        b_mu = pool_mu[ids_c]
+        b_nu_cmf = pool_nu_cmf[ids_c]
+        inv_dop = 1.0 / (1.0 - b_mu * beta_inner)
+        b_nu = b_nu_cmf * inv_dop
+        b_energy = inv_dop
+
+        r = jnp.where(can_fill, beta_inner, carry.r)
+        mu = jnp.where(can_fill, b_mu, carry.mu)
+        nu = jnp.where(can_fill, b_nu, carry.nu)
+        energy = jnp.where(can_fill, b_energy, carry.energy)
+        shell = jnp.where(can_fill, 0, carry.shell)
+        # birth line id: count of lines with nu_line >= nu_cmf
+        # (reference packets/radiative_packet.py:96-110)
+        birth_line = jnp.searchsorted(
+            tables.neg_line_nu, -b_nu_cmf, side="right"
+        ).astype(I32)
+        next_line = jnp.where(can_fill, birth_line, carry.next_line)
+        pkt_id = jnp.where(can_fill, new_ids, carry.pkt_id)
+        event_idx = jnp.where(can_fill, 0, carry.event_idx)
+        alive = carry.alive | can_fill
+        next_unborn = carry.next_unborn + jnp.sum(can_fill.astype(I32))
+
+        # ------------------------------------------------ 2. RNG keys
+        def mk_key(pid, eidx):
+            return jax.random.fold_in(
+                jax.random.fold_in(base_key, pid.astype(jnp.uint32)),
+                eidx.astype(jnp.uint32),
+            )
+
+        keys = jax.vmap(mk_key)(pkt_id, event_idx)
+
+        # ------------------------------------------------ 3. trace
+        shell_c = jnp.clip(shell, 0, S - 1)
+        z = mu * r
+        dop = 1.0 - z  # = 1 - mu*beta(r)  (homologous: beta = r/ct = r')
+        nu_cmf = nu * dop
+        chi = tables.chi_e[shell_c]
+        r_in = tables.r_inner[shell_c]
+        r_out = tables.r_outer[shell_c]
+        d_b, delta_shell = _distance_boundary(r, mu, r_in, r_out)
+
+        tau_event = -jnp.log(_uniform_from_key(keys, _TAG_TAU))
+
+        # lines with resonance before the boundary: nu_i > nu*(1-(z+d_b))
+        nu_thresh = nu * (1.0 - (z + d_b))
+        i_bound = jnp.maximum(count_gt(nu_thresh), next_line)
+        i_bound = jnp.minimum(i_bound, L)
+
+        c0_hi = tables.tau_cum_hi[shell_c, next_line]
+        c0_lo = tables.tau_cum_lo[shell_c, next_line]
+
+        def s_of(i):
+            zeta = 1.0 - tables.line_nu[jnp.clip(i, 0, L - 1)] / nu
+            return jnp.maximum(zeta - z, 0.0)
+
+        def dC(i):  # cumulative line tau over [next_line, i)
+            return df32_diff(
+                tables.tau_cum_hi[shell_c, i],
+                tables.tau_cum_lo[shell_c, i],
+                c0_hi,
+                c0_lo,
+            )
+
+        def g_pred(i):
+            return dC(i + 1) + chi * s_of(i) > tau_event
+
+        i_event = _bsearch_first_true(
+            g_pred, next_line, i_bound, static.line_search_bits
+        )
+        found = i_event < i_bound
+
+        s_ev = s_of(i_event)
+        tau_before = dC(i_event)
+        d_cont_f = jnp.maximum((tau_event - tau_before) / chi, 0.0)
+        escat_f = d_cont_f < s_ev
+        if static.disable_line_scattering:
+            escat_f = jnp.ones_like(escat_f)
+
+        tau_total = dC(i_bound)
+        d_cont_nf = jnp.maximum((tau_event - tau_total) / chi, 0.0)
+        escat_nf = d_cont_nf < d_b
+
+        EV_BOUNDARY, EV_LINE, EV_ESCAT = 0, 1, 2
+        event = jnp.where(
+            found,
+            jnp.where(escat_f, EV_ESCAT, EV_LINE),
+            jnp.where(escat_nf, EV_ESCAT, EV_BOUNDARY),
+        )
+        distance = jnp.where(
+            found,
+            jnp.where(escat_f, d_cont_f, s_ev),
+            jnp.where(escat_nf, d_cont_nf, d_b),
+        )
+        # exclusive end of crossed-line range (LINE includes its own line)
+        end_line = jnp.where(
+            found, jnp.where(escat_f, i_event, i_event + 1), i_bound
+        )
+
+        # ------------------------------------------------ 4. estimators
+        live_f = alive.astype(F32)
+        e_com = energy * dop
+        w_j = live_f * e_com * distance
+        onehot = (shell_c[:, None] == jnp.arange(S)[None, :]).astype(F32)
+        est_j = carry.est_j + jnp.sum(w_j[:, None] * onehot, axis=0)
+        est_nubar = carry.est_nubar + jnp.sum(
+            (w_j * nu_cmf)[:, None] * onehot, axis=0
+        )
+
+        w1 = live_f * energy / (nu * nu)  # j_blue weight
+        w2 = live_f * energy / nu  # e_dot weight
+        idx_a = next_line * S + shell_c
+        idx_b = end_line * S + shell_c
+        jblue_diff = (
+            carry.jblue_diff.at[idx_a].add(w1).at[idx_b].add(-w1)
+        )
+        edot_diff = carry.edot_diff.at[idx_a].add(w2).at[idx_b].add(-w2)
+
+        # ------------------------------------------------ 5. move
+        r_new = jnp.sqrt(
+            jnp.maximum(r * r + distance * distance + 2.0 * r * distance * mu,
+                        1e-20)
+        )
+        mu_new = (mu * r + distance) / r_new
+
+        # ------------------------------------------------ 6. events
+        is_boundary = alive & (event == EV_BOUNDARY)
+        is_escat = alive & (event == EV_ESCAT)
+        is_line = alive & (event == EV_LINE)
+
+        # boundary
+        new_shell = shell + jnp.where(is_boundary, delta_shell, 0)
+        emitted = is_boundary & (new_shell >= S)
+        reabsorbed = is_boundary & (new_shell < 0)
+
+        # scatter/line common: new direction in CMF
+        mu_draw = 2.0 * _uniform_from_key(keys, _TAG_MU) - 1.0
+        dop_old_pos = 1.0 - mu_new * r_new
+        inv_dop_new = 1.0 / (1.0 - mu_draw * r_new)
+
+        # Thomson (reference interaction_events.py:184-218)
+        nu_escat = nu * dop_old_pos * inv_dop_new
+        e_escat = energy * dop_old_pos * inv_dop_new
+
+        # line emission (reference interaction_events.py:227-262 +
+        # interaction_event_callers.py:187-240)
+        if static.line_interaction_mode == LINE_SCATTER:
+            em_line = i_event
+        else:
+            em_line = _macro_walk(
+                tables, static, i_event, shell_c, keys, is_line
+            )
+        nu_line_em = tables.line_nu[jnp.clip(em_line, 0, L - 1)]
+        nu_line_new = nu_line_em * inv_dop_new
+        e_line = energy * dop_old_pos * inv_dop_new
+
+        interacts = is_escat | is_line
+        nu = jnp.where(is_escat, nu_escat, jnp.where(is_line, nu_line_new, nu))
+        energy = jnp.where(
+            is_escat, e_escat, jnp.where(is_line, e_line, energy)
+        )
+        mu_after = jnp.where(interacts, mu_draw, mu_new)
+        next_line = jnp.where(
+            is_line, em_line + 1, jnp.where(alive, end_line, next_line)
+        )
+
+        r = jnp.where(alive, r_new, r)
+        mu = jnp.where(alive, mu_after, mu)
+        shell = jnp.where(is_boundary & ~emitted & ~reabsorbed, new_shell, shell)
+
+        # ------------------------------------------------ 7. deaths
+        dying = emitted | reabsorbed
+        out_idx = jnp.where(dying, pkt_id, n_packets)  # n_packets = dropped
+        out_nu = carry.out_nu.at[out_idx].set(nu, mode="drop")
+        out_energy = carry.out_energy.at[out_idx].set(energy, mode="drop")
+        status_val = jnp.where(
+            emitted, STATUS_EMITTED, STATUS_REABSORBED
+        ).astype(jnp.int8)
+        out_status = carry.out_status.at[out_idx].set(status_val, mode="drop")
+        alive = alive & ~dying
+        event_idx = event_idx + 1
+
+        return TransportCarry(
+            r=r,
+            mu=mu,
+            nu=nu,
+            energy=energy,
+            shell=shell,
+            next_line=next_line,
+            pkt_id=pkt_id,
+            event_idx=event_idx,
+            alive=alive,
+            next_unborn=next_unborn,
+            est_j=est_j,
+            est_nubar=est_nubar,
+            jblue_diff=jblue_diff,
+            edot_diff=edot_diff,
+            out_nu=out_nu,
+            out_energy=out_energy,
+            out_status=out_status,
+            n_steps=carry.n_steps + 1,
+            n_events=carry.n_events + jnp.sum(alive.astype(F32)),
+        )
+
+    return step
+
+
+def init_carry(static: TransportStaticConfig, batch_size: int, n_packets: int):
+    B = batch_size
+    S, L = static.n_shells, static.n_lines
+    z = jnp.zeros
+    return TransportCarry(
+        r=z(B, F32),
+        mu=z(B, F32),
+        nu=jnp.ones(B, F32),
+        energy=z(B, F32),
+        shell=z(B, I32),
+        next_line=z(B, I32),
+        pkt_id=jnp.full(B, -1, I32),
+        event_idx=z(B, I32),
+        alive=jnp.zeros(B, bool),
+        next_unborn=jnp.zeros((), I32),
+        est_j=z(S, F32),
+        est_nubar=z(S, F32),
+        jblue_diff=z((L + 1) * S, F32),
+        edot_diff=z((L + 1) * S, F32),
+        out_nu=z(n_packets, F32),
+        out_energy=z(n_packets, F32),
+        out_status=z(n_packets, jnp.int8),
+        n_steps=jnp.zeros((), I32),
+        n_events=jnp.zeros((), F32),
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("static", "n_packets", "batch_size", "max_steps"),
+)
+def run_transport(
+    tables: TransportTables,
+    static: TransportStaticConfig,
+    pool_mu,
+    pool_nu_cmf,
+    base_key,
+    n_packets: int,
+    batch_size: int,
+    max_steps: int = 1 << 30,
+):
+    """Run transport for all n_packets on one device; returns final carry."""
+    step = make_transport_step(
+        tables, static, pool_mu, pool_nu_cmf, n_packets, base_key
+    )
+    carry0 = init_carry(static, batch_size, n_packets)
+
+    def cond(c: TransportCarry):
+        return ((c.next_unborn < n_packets) | jnp.any(c.alive)) & (
+            c.n_steps < max_steps
+        )
+
+    return lax.while_loop(cond, step, carry0)

@@ -1,0 +1,216 @@
+"""Transport solver: per-iteration orchestration around the device kernel.
+
+Host-side counterpart of the reference's ``MCTransportSolverClassic``
+(/root/reference/tardis/transport/montecarlo/modes/classic/solver.py:102-270):
+builds device tables, samples the packet pool, runs the kernel, and converts
+raw device estimators back to physical cgs units, including the
+radiation-field inversion of ``MCRadiationFieldPropertiesSolver``
+(/root/reference/tardis/transport/montecarlo/estimators/mc_rad_field_solver.py:37-142).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import numpy as np
+
+from tardis_tpu.constants import (
+    C,
+    SIGMA_SB,
+    T_RADIATIVE_ESTIMATOR_CONSTANT,
+)
+from tardis_tpu.opacities.macro_atom_solver import solve_macro_state
+from tardis_tpu.plasma.lte import intensity_black_body
+from tardis_tpu.transport.device_state import (
+    NU_UNIT,
+    build_transport_tables,
+)
+from tardis_tpu.transport.kernel import (
+    STATUS_EMITTED,
+    STATUS_REABSORBED,
+    run_transport,
+)
+from tardis_tpu.transport.source import sample_blackbody_packets
+
+
+@dataclass
+class TransportResult:
+    """Physical-unit transport outputs for one MC iteration."""
+
+    # packet outputs
+    output_nu: np.ndarray  # (N,) Hz, lab frame at death
+    output_energy: np.ndarray  # (N,) erg
+    output_status: np.ndarray  # (N,) int8 (1 emitted, 2 reabsorbed)
+    # estimators (physical)
+    j_estimator: np.ndarray  # (S,) erg cm
+    nu_bar_estimator: np.ndarray  # (S,) erg cm Hz
+    j_blue_estimator: np.ndarray  # (L, S)
+    edot_lu_estimator: np.ndarray  # (L, S)
+    # bookkeeping
+    time_of_simulation: float  # s
+    n_packets: int
+    n_events: float
+    n_steps: int
+
+    @property
+    def emitted_mask(self):
+        return self.output_status == STATUS_EMITTED
+
+    def emitted_luminosity(self, nu_min=0.0, nu_max=np.inf) -> float:
+        m = self.emitted_mask & (self.output_nu >= nu_min) & (
+            self.output_nu <= nu_max
+        )
+        return float(self.output_energy[m].sum() / self.time_of_simulation)
+
+    def reabsorbed_luminosity(self) -> float:
+        m = self.output_status == STATUS_REABSORBED
+        return float(self.output_energy[m].sum() / self.time_of_simulation)
+
+
+class TransportSolver:
+    def __init__(
+        self,
+        line_interaction_type: str = "scatter",
+        disable_electron_scattering: bool = False,
+        disable_line_scattering: bool = False,
+        batch_size: int = 65536,
+        w_epsilon: float = 1e-10,
+    ):
+        self.line_interaction_type = line_interaction_type
+        self.disable_electron_scattering = disable_electron_scattering
+        self.disable_line_scattering = disable_line_scattering
+        self.batch_size = batch_size
+        self.w_epsilon = w_epsilon
+
+    # ------------------------------------------------------------------
+    def run_iteration(
+        self,
+        sim_state,
+        plasma_state,
+        atom_data,
+        n_packets: int,
+        seed: int,
+        iteration: int,
+    ) -> TransportResult:
+        geometry = sim_state.geometry
+        ct = C * geometry.time_explosion
+        macro_state = None
+        if self.line_interaction_type in ("downbranch", "macroatom"):
+            macro = (
+                atom_data.downbranch
+                if self.line_interaction_type == "downbranch"
+                else atom_data.macro_atom
+            )
+            macro_state = solve_macro_state(
+                macro,
+                plasma_state.beta_sobolev,
+                plasma_state.j_blues,
+                plasma_state.stimulated_emission_factor,
+            )
+
+        tables, static = build_transport_tables(
+            geometry,
+            plasma_state,
+            atom_data,
+            line_interaction_type=self.line_interaction_type,
+            disable_electron_scattering=self.disable_electron_scattering,
+            macro_state=macro_state,
+        )
+        if self.disable_line_scattering:
+            static = static._replace(disable_line_scattering=True)
+
+        base_key = jax.random.key(np.uint32(seed))
+        src_key = jax.random.fold_in(base_key, 2 * iteration)
+        run_key = jax.random.fold_in(base_key, 2 * iteration + 1)
+
+        pool_mu, pool_nu_cmf = sample_blackbody_packets(
+            src_key, n_packets, sim_state.t_inner
+        )
+
+        batch = min(self.batch_size, n_packets)
+        carry = run_transport(
+            tables,
+            static,
+            pool_mu,
+            pool_nu_cmf,
+            run_key,
+            n_packets=n_packets,
+            batch_size=batch,
+        )
+        return self._finalize(carry, sim_state, atom_data, n_packets)
+
+    # ------------------------------------------------------------------
+    def _finalize(self, carry, sim_state, atom_data, n_packets) -> TransportResult:
+        """Convert kernel-unit estimators to physical cgs.
+
+        Kernel units: length ct, frequency NU_UNIT, energy E0 = 1/N erg
+        (reference packet_collections.py:58: time_of_simulation = 1 erg / L).
+        """
+        ct = C * sim_state.time_explosion
+        e0 = 1.0 / n_packets  # erg
+        time_of_simulation = 1.0 / sim_state.luminosity_requested  # s
+        S = sim_state.no_of_shells
+        L = atom_data.n_lines
+
+        est_j = np.asarray(carry.est_j, dtype=np.float64) * e0 * ct
+        est_nubar = (
+            np.asarray(carry.est_nubar, dtype=np.float64) * e0 * ct * NU_UNIT
+        )
+
+        # difference-array -> per-line estimators
+        nu_scaled = atom_data.line_nu / NU_UNIT
+        jb = np.cumsum(
+            np.asarray(carry.jblue_diff, dtype=np.float64).reshape(L + 1, S),
+            axis=0,
+        )[:L]
+        ed = np.cumsum(
+            np.asarray(carry.edot_diff, dtype=np.float64).reshape(L + 1, S),
+            axis=0,
+        )[:L]
+        j_blue = jb * nu_scaled[:, None] * (e0 / NU_UNIT)
+        edot = ed * nu_scaled[:, None] * e0
+
+        return TransportResult(
+            output_nu=np.asarray(carry.out_nu, dtype=np.float64) * NU_UNIT,
+            output_energy=np.asarray(carry.out_energy, dtype=np.float64) * e0,
+            output_status=np.asarray(carry.out_status),
+            j_estimator=est_j,
+            nu_bar_estimator=est_nubar,
+            j_blue_estimator=j_blue,
+            edot_lu_estimator=edot,
+            time_of_simulation=time_of_simulation,
+            n_packets=n_packets,
+            n_events=float(carry.n_events),
+            n_steps=int(carry.n_steps),
+        )
+
+
+def solve_radiation_field(
+    result: TransportResult,
+    sim_state,
+    atom_data,
+    w_epsilon: float = 1e-10,
+):
+    """Invert MC estimators to (T_rad, W, j_blues).
+
+    (reference mc_rad_field_solver.py:95-142)
+    """
+    volume = sim_state.volume
+    dt = result.time_of_simulation
+    t_rad = (
+        T_RADIATIVE_ESTIMATOR_CONSTANT
+        * result.nu_bar_estimator
+        / result.j_estimator
+    )
+    w = result.j_estimator / (
+        4.0 * SIGMA_SB * t_rad**4 * dt * volume
+    )
+
+    norm = C * sim_state.time_explosion / (4.0 * np.pi * dt * volume)
+    j_blues = result.j_blue_estimator * norm[None, :]
+    planck = w[None, :] * intensity_black_body(
+        atom_data.line_nu[:, None], t_rad[None, :]
+    )
+    j_blues = np.where(j_blues == 0.0, w_epsilon * planck, j_blues)
+    return t_rad, w, j_blues

@@ -1,0 +1,54 @@
+"""Blackbody packet source — device-side, counter-based RNG.
+
+Re-implements the Bjorkman & Wood (2001) blackbody frequency sampling and the
+zero-limb-darkening mu distribution of the reference's
+``BlackBodySimpleSource``
+(/root/reference/tardis/transport/montecarlo/packet_source/black_body.py:140-205)
+as a vectorized JAX function.  Each packet's draws derive only from
+(base_key, packet_id), so sampling is reproducible regardless of device count
+or batch layout (the TPU analogue of the reference's per-packet seeds,
+packet_source/base.py:221-225).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tardis_tpu.constants import H, K_B
+from tardis_tpu.transport.device_state import NU_UNIT
+
+_L_SAMPLES = 1000
+_L_ARRAY = np.cumsum(np.arange(1, _L_SAMPLES, dtype=np.float64) ** -4)
+_L_COEF = np.pi**4 / 90.0
+
+
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("n_packets",))
+def sample_blackbody_packets(key, n_packets: int, t_inner: float):
+    """Sample (mu, nu_cmf) for n_packets; nu in NU_UNIT units, f32.
+
+    Returns
+    -------
+    mu : (N,) f32 in (0, 1]   (outward, mu = sqrt(xi))
+    nu_cmf : (N,) f32 comoving-frame frequency / NU_UNIT
+    """
+    l_array = jnp.asarray(_L_ARRAY, dtype=jnp.float32)
+
+    def one(pid):
+        k = jax.random.fold_in(key, pid)
+        xis = jax.random.uniform(k, (6,), dtype=jnp.float32)
+        l_min = (
+            jnp.searchsorted(l_array, xis[0] * jnp.float32(_L_COEF)) + 1
+        ).astype(jnp.float32)
+        x = -jnp.log(jnp.prod(xis[1:5]).clip(1e-37)) / l_min
+        nu = x * (K_B * t_inner / H) / NU_UNIT
+        mu = jnp.sqrt(xis[5])
+        return mu, nu
+
+    ids = jnp.arange(n_packets, dtype=jnp.uint32)
+    mu, nu = jax.vmap(one)(ids)
+    return mu.astype(jnp.float32), nu.astype(jnp.float32)

@@ -7,7 +7,9 @@ mesh via XLA_FLAGS=--xla_force_host_platform_device_count.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hard override: the shell environment pins JAX_PLATFORMS=axon (the TPU
+# tunnel); tests must run on local CPU with a virtual 8-device mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
