@@ -172,6 +172,7 @@ def make_transport_step(
     pool_nu_cmf,
     n_packets: int,
     base_key,
+    pid_offset=0,
 ):
     """Build the per-event step function for lax.while_loop."""
     S = static.n_lines and static.n_shells  # noqa - readability below
@@ -218,8 +219,12 @@ def make_transport_step(
 
         # ------------------------------------------------ 2. RNG keys
         def mk_key(pid, eidx):
+            # pid is the GLOBAL packet id (local id + device offset) so draws
+            # are identical regardless of device count / sharding layout
             return jax.random.fold_in(
-                jax.random.fold_in(base_key, pid.astype(jnp.uint32)),
+                jax.random.fold_in(
+                    base_key, (pid + pid_offset).astype(jnp.uint32)
+                ),
                 eidx.astype(jnp.uint32),
             )
 
@@ -427,6 +432,31 @@ def init_carry(static: TransportStaticConfig, batch_size: int, n_packets: int):
     )
 
 
+def transport_loop(
+    tables: TransportTables,
+    static: TransportStaticConfig,
+    pool_mu,
+    pool_nu_cmf,
+    base_key,
+    n_packets: int,
+    batch_size: int,
+    max_steps: int = 1 << 30,
+    pid_offset=0,
+):
+    """The transport while-loop (traceable; used directly under shard_map)."""
+    step = make_transport_step(
+        tables, static, pool_mu, pool_nu_cmf, n_packets, base_key, pid_offset
+    )
+    carry0 = init_carry(static, batch_size, n_packets)
+
+    def cond(c: TransportCarry):
+        return ((c.next_unborn < n_packets) | jnp.any(c.alive)) & (
+            c.n_steps < max_steps
+        )
+
+    return lax.while_loop(cond, step, carry0)
+
+
 @partial(
     jax.jit,
     static_argnames=("static", "n_packets", "batch_size", "max_steps"),
@@ -442,14 +472,7 @@ def run_transport(
     max_steps: int = 1 << 30,
 ):
     """Run transport for all n_packets on one device; returns final carry."""
-    step = make_transport_step(
-        tables, static, pool_mu, pool_nu_cmf, n_packets, base_key
+    return transport_loop(
+        tables, static, pool_mu, pool_nu_cmf, base_key,
+        n_packets, batch_size, max_steps,
     )
-    carry0 = init_carry(static, batch_size, n_packets)
-
-    def cond(c: TransportCarry):
-        return ((c.next_unborn < n_packets) | jnp.any(c.alive)) & (
-            c.n_steps < max_steps
-        )
-
-    return lax.while_loop(cond, step, carry0)

@@ -9,12 +9,18 @@ import os
 
 # Hard override: the shell environment pins JAX_PLATFORMS=axon (the TPU
 # tunnel); tests must run on local CPU with a virtual 8-device mesh.
+# jaxtyping's pytest plugin imports jax before this conftest, so the env var
+# alone is too late — override the already-imported config too.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
