@@ -99,11 +99,13 @@ def run_transport_sharded(
         edot = lax.psum(carry.edot_diff, "packets")
         n_steps = lax.pmax(carry.n_steps, "packets")
         n_events = lax.psum(carry.n_events, "packets")
+        vp_count = lax.psum(carry.vp_count, "packets")
         return carry._replace(
             est_j=est_j,
             est_nubar=est_nubar,
             jblue_diff=jblue,
             edot_diff=edot,
+            vp_count=vp_count,
             n_steps=n_steps,
             n_events=n_events,
         )
@@ -127,6 +129,13 @@ def run_transport_sharded(
         out_nu=P("packets"),
         out_energy=P("packets"),
         out_status=P("packets"),
+        vp_r=P("packets"),
+        vp_mu=P("packets"),
+        vp_nu=P("packets"),
+        vp_energy=P("packets"),
+        vp_shell=P("packets"),
+        vp_next_line=P("packets"),
+        vp_count=P(),
         n_steps=P(),
         n_events=P(),
     )

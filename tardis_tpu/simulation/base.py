@@ -267,7 +267,20 @@ class Simulation:
         """Final high-statistics iteration + spectra
         (reference simulation/base.py:525-570)."""
         iteration = self.iterations_executed
-        result = self.iterate(self.last_no_of_packets, iteration)
+        n_vp = int(self.config.montecarlo.get("no_of_virtual_packets", 0))
+        if self.plasma_state is None:
+            self._solve_plasma()
+        result = self.transport.run_iteration(
+            self.state,
+            self.plasma_state,
+            self.atom_data,
+            n_packets=self.last_no_of_packets,
+            seed=self.seed,
+            iteration=iteration,
+            n_vpackets=n_vp,
+            spectrum_nu_edges=self.spectrum_nu_edges,
+        )
+        self.last_transport_result = result
         self.iterations_executed += 1
         self.spectrum_real = real_packet_spectrum(
             result.output_nu,
@@ -276,6 +289,15 @@ class Simulation:
             self.spectrum_nu_edges,
             result.time_of_simulation,
         )
+        if result.virt_energy_hist is not None:
+            self.spectrum_virtual = Spectrum(
+                nu_edges=result.virt_nu_edges,
+                luminosity_nu=(
+                    result.virt_energy_hist
+                    / result.time_of_simulation
+                    / np.diff(result.virt_nu_edges)
+                ),
+            )
         for cb in self._callbacks:
             cb(self)
         return self

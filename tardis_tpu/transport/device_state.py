@@ -72,6 +72,9 @@ class TransportStaticConfig(NamedTuple):
     max_macro_jumps: int = 40
     macro_block_bits: int = 1  # ceil(log2(max block length))
     line_search_bits: int = 20  # ceil(log2(L)) + 1
+    # virtual packets: spawn-point recording in the main loop
+    # (records are traced in a separate dense pass, transport/vpacket.py)
+    vpacket_capacity: int = 0  # 0 = disabled
 
 
 def build_transport_tables(

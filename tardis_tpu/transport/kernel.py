@@ -40,6 +40,7 @@ from tardis_tpu.transport.device_state import (
     TransportStaticConfig,
     TransportTables,
 )
+from tardis_tpu.utils.search import searchsorted_unrolled
 from tardis_tpu.utils.twofloat import df32_diff
 
 F32 = jnp.float32
@@ -77,6 +78,14 @@ class TransportCarry(NamedTuple):
     out_nu: jnp.ndarray
     out_energy: jnp.ndarray
     out_status: jnp.ndarray  # i8
+    # vpacket spawn records (capacity R; size-1 dummies when disabled)
+    vp_r: jnp.ndarray
+    vp_mu: jnp.ndarray
+    vp_nu: jnp.ndarray
+    vp_energy: jnp.ndarray
+    vp_shell: jnp.ndarray  # i32
+    vp_next_line: jnp.ndarray  # i32
+    vp_count: jnp.ndarray  # i32 scalar (attempted; clamp to capacity on use)
     # diagnostics
     n_steps: jnp.ndarray  # i32 scalar
     n_events: jnp.ndarray  # i64-ish f32 accumulator
@@ -184,9 +193,9 @@ def make_transport_step(
 
     def count_gt(nu_thresh):
         """Number of lines with nu_i > nu_thresh (descending list)."""
-        return jnp.searchsorted(
+        return searchsorted_unrolled(
             tables.neg_line_nu, -nu_thresh, side="left"
-        ).astype(I32)
+        )
 
     def step(carry: TransportCarry) -> TransportCarry:
         # ------------------------------------------------ 1. refill
@@ -208,14 +217,37 @@ def make_transport_step(
         shell = jnp.where(can_fill, 0, carry.shell)
         # birth line id: count of lines with nu_line >= nu_cmf
         # (reference packets/radiative_packet.py:96-110)
-        birth_line = jnp.searchsorted(
+        birth_line = searchsorted_unrolled(
             tables.neg_line_nu, -b_nu_cmf, side="right"
-        ).astype(I32)
+        )
         next_line = jnp.where(can_fill, birth_line, carry.next_line)
         pkt_id = jnp.where(can_fill, new_ids, carry.pkt_id)
         event_idx = jnp.where(can_fill, 0, carry.event_idx)
         alive = carry.alive | can_fill
         next_unborn = carry.next_unborn + jnp.sum(can_fill.astype(I32))
+
+        # birth vpacket spawn records (reference packet_propagation.py:108-118:
+        # volley at packet birth before the first trace)
+        if static.vpacket_capacity > 0:
+            vp_idx = carry.vp_count + jnp.cumsum(can_fill.astype(I32)) - 1
+            widx = jnp.where(
+                can_fill & (vp_idx < static.vpacket_capacity),
+                vp_idx,
+                static.vpacket_capacity + 1,
+            )
+            vp_r = carry.vp_r.at[widx].set(beta_inner, mode="drop")
+            vp_mu = carry.vp_mu.at[widx].set(b_mu, mode="drop")
+            vp_nu = carry.vp_nu.at[widx].set(b_nu, mode="drop")
+            vp_energy = carry.vp_energy.at[widx].set(b_energy, mode="drop")
+            vp_shell = carry.vp_shell.at[widx].set(0, mode="drop")
+            vp_next_line = carry.vp_next_line.at[widx].set(
+                birth_line, mode="drop"
+            )
+            vp_count = carry.vp_count + jnp.sum(can_fill.astype(I32))
+        else:
+            vp_r, vp_mu, vp_nu = carry.vp_r, carry.vp_mu, carry.vp_nu
+            vp_energy, vp_shell = carry.vp_energy, carry.vp_shell
+            vp_next_line, vp_count = carry.vp_next_line, carry.vp_count
 
         # ------------------------------------------------ 2. RNG keys
         def mk_key(pid, eidx):
@@ -368,6 +400,23 @@ def make_transport_step(
         mu = jnp.where(alive, mu_after, mu)
         shell = jnp.where(is_boundary & ~emitted & ~reabsorbed, new_shell, shell)
 
+        # interaction vpacket spawn records (reference
+        # packet_propagation.py:186-227: volley after line/e-scatter events)
+        if static.vpacket_capacity > 0:
+            vp_idx2 = vp_count + jnp.cumsum(interacts.astype(I32)) - 1
+            widx2 = jnp.where(
+                interacts & (vp_idx2 < static.vpacket_capacity),
+                vp_idx2,
+                static.vpacket_capacity + 1,
+            )
+            vp_r = vp_r.at[widx2].set(r, mode="drop")
+            vp_mu = vp_mu.at[widx2].set(mu, mode="drop")
+            vp_nu = vp_nu.at[widx2].set(nu, mode="drop")
+            vp_energy = vp_energy.at[widx2].set(energy, mode="drop")
+            vp_shell = vp_shell.at[widx2].set(shell, mode="drop")
+            vp_next_line = vp_next_line.at[widx2].set(next_line, mode="drop")
+            vp_count = vp_count + jnp.sum(interacts.astype(I32))
+
         # ------------------------------------------------ 7. deaths
         dying = emitted | reabsorbed
         out_idx = jnp.where(dying, pkt_id, n_packets)  # n_packets = dropped
@@ -398,6 +447,13 @@ def make_transport_step(
             out_nu=out_nu,
             out_energy=out_energy,
             out_status=out_status,
+            vp_r=vp_r,
+            vp_mu=vp_mu,
+            vp_nu=vp_nu,
+            vp_energy=vp_energy,
+            vp_shell=vp_shell,
+            vp_next_line=vp_next_line,
+            vp_count=vp_count,
             n_steps=carry.n_steps + 1,
             n_events=carry.n_events + jnp.sum(alive.astype(F32)),
         )
@@ -408,6 +464,7 @@ def make_transport_step(
 def init_carry(static: TransportStaticConfig, batch_size: int, n_packets: int):
     B = batch_size
     S, L = static.n_shells, static.n_lines
+    R = max(static.vpacket_capacity, 1)
     z = jnp.zeros
     return TransportCarry(
         r=z(B, F32),
@@ -427,6 +484,13 @@ def init_carry(static: TransportStaticConfig, batch_size: int, n_packets: int):
         out_nu=z(n_packets, F32),
         out_energy=z(n_packets, F32),
         out_status=z(n_packets, jnp.int8),
+        vp_r=z(R, F32),
+        vp_mu=z(R, F32),
+        vp_nu=z(R, F32),
+        vp_energy=z(R, F32),
+        vp_shell=z(R, I32),
+        vp_next_line=z(R, I32),
+        vp_count=jnp.zeros((), I32),
         n_steps=jnp.zeros((), I32),
         n_events=jnp.zeros((), F32),
     )

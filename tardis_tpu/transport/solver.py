@@ -15,6 +15,8 @@ from dataclasses import dataclass
 import jax
 import numpy as np
 
+import jax.numpy as jnp
+
 from tardis_tpu.constants import (
     C,
     SIGMA_SB,
@@ -47,6 +49,10 @@ class TransportResult:
     nu_bar_estimator: np.ndarray  # (S,) erg cm Hz
     j_blue_estimator: np.ndarray  # (L, S)
     edot_lu_estimator: np.ndarray  # (L, S)
+    # virtual-packet spectrum (None unless vpackets enabled)
+    virt_nu_edges: np.ndarray | None  # (M+1,) Hz
+    virt_energy_hist: np.ndarray | None  # (M,) erg (attenuated vp energies)
+    vp_records: int  # spawn records captured
     # bookkeeping
     time_of_simulation: float  # s
     n_packets: int
@@ -76,12 +82,14 @@ class TransportSolver:
         disable_line_scattering: bool = False,
         batch_size: int = 65536,
         w_epsilon: float = 1e-10,
+        vpacket_records_per_packet: int = 8,
     ):
         self.line_interaction_type = line_interaction_type
         self.disable_electron_scattering = disable_electron_scattering
         self.disable_line_scattering = disable_line_scattering
         self.batch_size = batch_size
         self.w_epsilon = w_epsilon
+        self.vpacket_records_per_packet = vpacket_records_per_packet
 
     # ------------------------------------------------------------------
     def run_iteration(
@@ -92,6 +100,8 @@ class TransportSolver:
         n_packets: int,
         seed: int,
         iteration: int,
+        n_vpackets: int = 0,
+        spectrum_nu_edges: np.ndarray | None = None,
     ) -> TransportResult:
         geometry = sim_state.geometry
         ct = C * geometry.time_explosion
@@ -119,6 +129,12 @@ class TransportSolver:
         )
         if self.disable_line_scattering:
             static = static._replace(disable_line_scattering=True)
+        if n_vpackets > 0:
+            static = static._replace(
+                vpacket_capacity=int(
+                    n_packets * self.vpacket_records_per_packet
+                )
+            )
 
         base_key = jax.random.key(np.uint32(seed))
         src_key = jax.random.fold_in(base_key, 2 * iteration)
@@ -138,10 +154,39 @@ class TransportSolver:
             n_packets=n_packets,
             batch_size=batch,
         )
-        return self._finalize(carry, sim_state, atom_data, n_packets)
+
+        virt_hist = None
+        virt_edges = None
+        if n_vpackets > 0:
+            from tardis_tpu.transport.device_state import NU_UNIT
+            from tardis_tpu.transport.vpacket import trace_vpacket_records
+
+            virt_edges = np.asarray(spectrum_nu_edges, dtype=np.float64)
+            edges_scaled = jnp.asarray(virt_edges / NU_UNIT, jnp.float32)
+            n_bins = len(virt_edges) - 1
+            hist = trace_vpacket_records(
+                tables,
+                static,
+                carry.vp_r,
+                carry.vp_mu,
+                carry.vp_nu,
+                carry.vp_energy,
+                carry.vp_shell,
+                carry.vp_next_line,
+                n_vpackets=n_vpackets,
+                nu_bin_edges=edges_scaled,
+                n_bins=n_bins,
+            )
+            virt_hist = np.asarray(hist, dtype=np.float64)
+
+        return self._finalize(
+            carry, sim_state, atom_data, n_packets,
+            virt_edges=virt_edges, virt_hist=virt_hist,
+        )
 
     # ------------------------------------------------------------------
-    def _finalize(self, carry, sim_state, atom_data, n_packets) -> TransportResult:
+    def _finalize(self, carry, sim_state, atom_data, n_packets,
+                  virt_edges=None, virt_hist=None) -> TransportResult:
         """Convert kernel-unit estimators to physical cgs.
 
         Kernel units: length ct, frequency NU_UNIT, energy E0 = 1/N erg
@@ -179,6 +224,11 @@ class TransportSolver:
             nu_bar_estimator=est_nubar,
             j_blue_estimator=j_blue,
             edot_lu_estimator=edot,
+            virt_nu_edges=virt_edges,
+            virt_energy_hist=(
+                None if virt_hist is None else virt_hist * e0
+            ),
+            vp_records=int(carry.vp_count),
             time_of_simulation=time_of_simulation,
             n_packets=n_packets,
             n_events=float(carry.n_events),

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tardis_tpu.constants import H, K_B
+from tardis_tpu.utils.search import searchsorted_unrolled
 from tardis_tpu.transport.device_state import NU_UNIT
 
 _L_SAMPLES = 1000
@@ -42,7 +43,7 @@ def sample_blackbody_packets(key, n_packets: int, t_inner: float):
         k = jax.random.fold_in(key, pid)
         xis = jax.random.uniform(k, (6,), dtype=jnp.float32)
         l_min = (
-            jnp.searchsorted(l_array, xis[0] * jnp.float32(_L_COEF)) + 1
+            searchsorted_unrolled(l_array, xis[0] * jnp.float32(_L_COEF)) + 1
         ).astype(jnp.float32)
         x = -jnp.log(jnp.prod(xis[1:5]).clip(1e-37)) / l_min
         nu = x * (K_B * t_inner / H) / NU_UNIT

@@ -1,0 +1,175 @@
+"""Virtual-packet spectrum synthesis as a dense second pass.
+
+The reference traces a volley of virtual packets inline at every interaction
+(/root/reference/tardis/transport/montecarlo/packets/virtual_packet.py:248-387),
+nesting a per-shell line walk inside the packet hot loop.  The TPU design
+decouples this: the main transport loop only *records* spawn points
+(position, direction, lab frequency, energy, shell, next line), and this
+module traces all (record x vpacket) rays in one dense vectorized pass:
+
+- stratified mu bins in the comoving frame with Kerzendorf & Sim (2014)
+  weights (midpoint rule instead of random-in-stratum — lower variance,
+  RNG-free);
+- optical depth integrated analytically per shell segment using the same
+  per-shell tau prefix sums as the main kernel: the line tau over a segment
+  is C[s, i_exit] - C[s, i_enter], one binary search per shell crossing
+  (replacing the reference's per-line walk in trace_vpacket_within_shell:82);
+- no Russian roulette: e^-tau is computed exactly (the roulette in the
+  reference is a CPU cost-saving device; here the ray cost is fixed).
+
+Attenuated energies are histogrammed into the spectrum grid on device.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from tardis_tpu.transport.device_state import (
+    TransportStaticConfig,
+    TransportTables,
+)
+from tardis_tpu.utils.search import searchsorted_unrolled
+from tardis_tpu.utils.twofloat import df32_diff
+
+F32 = jnp.float32
+I32 = jnp.int32
+
+
+def _trace_tau(tables, static, r0, mu, shell0, next_line, nu_lab):
+    """Integrate tau along the ray (r0, mu) to the outer edge.
+
+    All quantities in kernel units (lengths / ct).  Returns total tau.
+    z = projection along the ray; increases monotonically; in homologous
+    flow lines are crossed in index order, so we carry the line cursor and
+    pay one binary search per shell segment.
+    """
+    S = static.n_shells
+    p2 = jnp.maximum(r0 * r0 * (1.0 - mu * mu), 0.0)  # impact param^2
+    z = mu * r0
+
+    def zb(r_shell):
+        return jnp.sqrt(jnp.maximum(r_shell * r_shell - p2, 0.0))
+
+    def count_gt(nu_thresh):
+        return searchsorted_unrolled(
+            tables.neg_line_nu, -nu_thresh, side="left"
+        )
+
+    # a ray crosses at most 2S shell segments (inward then outward);
+    # lockstep while_loop over segments with per-lane masking (a while_loop
+    # rather than an unrolled chain: 42 unrolled segments x 19 search probes
+    # produces an ~800-gather graph that stalls the XLA:CPU LLVM backend)
+    def body(state):
+        z, shell, i_cur, tau, seg = state
+        active = (shell >= 0) & (shell < S) & (tau < 70.0)
+        shell_c = jnp.clip(shell, 0, S - 1)
+        r_in = tables.r_inner[shell_c]
+        r_out = tables.r_outer[shell_c]
+        heading_in = z < 0.0
+        reaches_inner = heading_in & (p2 < r_in * r_in)
+        z_next = jnp.where(reaches_inner, -zb(r_in), zb(r_out))
+        delta = jnp.where(reaches_inner, -1, 1)
+        # lines crossed in (z, z_next]: nu_i > nu_lab * (1 - z_next)
+        i_next = jnp.maximum(count_gt(nu_lab * (1.0 - z_next)), i_cur)
+        d_tau_line = df32_diff(
+            tables.tau_cum_hi[shell_c, i_next],
+            tables.tau_cum_lo[shell_c, i_next],
+            tables.tau_cum_hi[shell_c, i_cur],
+            tables.tau_cum_lo[shell_c, i_cur],
+        )
+        d_tau = d_tau_line + tables.chi_e[shell_c] * jnp.maximum(
+            z_next - z, 0.0
+        )
+        tau = tau + jnp.where(active, d_tau, 0.0)
+        z = jnp.where(active, z_next, z)
+        i_cur = jnp.where(active, i_next, i_cur)
+        shell = jnp.where(active, shell + delta, shell)
+        return z, shell, i_cur, tau, seg + 1
+
+    def cond(state):
+        z, shell, i_cur, tau, seg = state
+        active = (shell >= 0) & (shell < S) & (tau < 70.0)
+        return jnp.any(active) & (seg < 2 * S + 2)
+
+    state = (z, shell0, next_line, jnp.zeros_like(r0), jnp.zeros((), I32))
+    state = jax.lax.while_loop(cond, body, state)
+    return state[3]
+
+
+@partial(
+    jax.jit,
+    static_argnames=("static", "n_vpackets", "n_bins"),
+)
+def trace_vpacket_records(
+    tables: TransportTables,
+    static: TransportStaticConfig,
+    vp_r,
+    vp_mu,
+    vp_nu,
+    vp_energy,
+    vp_shell,
+    vp_next_line,
+    n_vpackets: int,
+    nu_bin_edges,  # (n_bins+1,) in kernel nu units, ascending
+    n_bins: int,
+    spawn_nu_min=0.0,
+    spawn_nu_max=jnp.inf,
+):
+    """Trace all spawn records x n_vpackets; return spectrum histogram.
+
+    Weights/frequencies per reference trace_vpacket_volley
+    (virtual_packet.py:286-345).  Returns (histogram (n_bins,),
+    total_vp_energy) in kernel units (energy x packet-units).
+    """
+    beta_inner = tables.r_inner[0]
+    valid = (vp_energy > 0.0) & (vp_nu >= spawn_nu_min) & (
+        vp_nu <= spawn_nu_max
+    )
+
+    # broadcast records over the vpacket-bin axis -> one flat dense batch
+    frac = (jnp.arange(n_vpackets, dtype=F32)[:, None] + 0.5) / n_vpackets
+    on_inner = vp_r <= beta_inner * (1.0 + 1e-6)
+    r_ratio = jnp.clip(beta_inner / jnp.maximum(vp_r, beta_inner), 0.0, 1.0)
+    mu_min = jnp.where(
+        on_inner, 0.0, -jnp.sqrt(jnp.maximum(1.0 - r_ratio**2, 0.0))
+    )
+    mu_vp = mu_min[None, :] + frac * (1.0 - mu_min)[None, :]  # (V, R)
+    weight = jnp.where(
+        on_inner[None, :],
+        2.0 * mu_vp / n_vpackets,
+        ((1.0 - mu_min) / (2.0 * n_vpackets))[None, :],
+    )
+    dop_rp = (1.0 - vp_mu * vp_r)[None, :]
+    dop_vp = 1.0 - mu_vp * vp_r[None, :]
+    ratio = dop_rp / dop_vp
+    nu_vp = vp_nu[None, :] * ratio
+    e_vp = vp_energy[None, :] * weight * ratio
+
+    V, R = mu_vp.shape
+    flat = lambda x: x.reshape(V * R)
+    tau = _trace_tau(
+        tables,
+        static,
+        jnp.broadcast_to(vp_r[None, :], (V, R)).reshape(-1),
+        flat(mu_vp),
+        jnp.broadcast_to(vp_shell[None, :], (V, R)).reshape(-1),
+        jnp.broadcast_to(vp_next_line[None, :], (V, R)).reshape(-1),
+        flat(nu_vp),
+    )
+    e_out = jnp.where(
+        jnp.broadcast_to(valid[None, :], (V, R)).reshape(-1),
+        flat(e_vp) * jnp.exp(-tau),
+        0.0,
+    )
+    nu_flat = flat(nu_vp)
+    bins = jnp.clip(
+        searchsorted_unrolled(nu_bin_edges, nu_flat, side="right") - 1,
+        0,
+        n_bins - 1,
+    )
+    in_range = (nu_flat >= nu_bin_edges[0]) & (nu_flat < nu_bin_edges[-1])
+    e_out = jnp.where(in_range, e_out, 0.0)
+    return jnp.zeros(n_bins, F32).at[bins].add(e_out)
