@@ -19,6 +19,32 @@ import numpy as np
 from tardis_tpu.atomic.atom_data import MACRO_INTERNAL_UP, MacroAtomData
 
 
+def solve_transition_probabilities(
+    macro: MacroAtomData,
+    beta_sobolev: np.ndarray,  # (L, S)
+    j_blues: np.ndarray,  # (L, S)
+    stim_factor: np.ndarray,  # (L, S)
+) -> np.ndarray:
+    """Block-normalized transition probabilities (T, S)
+    (cf. fast_calculate_transition_probabilities, macro_atom/util.py:9-56)."""
+    line_idx = macro.transition_line_id
+    p = macro.coef[:, None] * beta_sobolev[line_idx]  # (T, S)
+    up = macro.transition_type == MACRO_INTERNAL_UP
+    p[up] *= stim_factor[line_idx[up]] * j_blues[line_idx[up]]
+
+    refs = macro.block_references
+    block_of = np.repeat(np.arange(len(refs) - 1), np.diff(refs))
+    T, S = p.shape
+    excl = np.zeros((T + 1, S))
+    np.cumsum(p, axis=0, out=excl[1:])
+    start_vals = excl[refs[:-1]]
+    end_vals = excl[refs[1:]]
+    denom = (end_vals - start_vals)[block_of]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        p_norm = p / denom
+    return np.where(np.isfinite(p_norm), p_norm, 0.0)
+
+
 def solve_macro_state(
     macro: MacroAtomData,
     beta_sobolev: np.ndarray,  # (L, S)

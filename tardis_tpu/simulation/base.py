@@ -298,9 +298,32 @@ class Simulation:
                     / np.diff(result.virt_nu_edges)
                 ),
             )
+        if self.config.spectrum.get("method") == "integrated":
+            self.integrate_spectrum()
         for cb in self._callbacks:
             cb(self)
         return self
+
+    def integrate_spectrum(self) -> Spectrum:
+        """Formal-integral spectrum from the last iteration's estimators
+        (reference FormalIntegralSolver, spectrum/formal_integral/)."""
+        from tardis_tpu.spectrum.formal_integral import FormalIntegralSolver
+
+        if self.last_transport_result is None:
+            raise RuntimeError("run the simulation before integrating")
+        integ_cfg = self.config.spectrum.get("integrated", {})
+        solver = FormalIntegralSolver(
+            n_points=int(integ_cfg.get("points", 1000)),
+        )
+        self.spectrum_integrated = solver.solve(
+            self.spectrum_nu_edges,
+            self.state,
+            self.plasma_state,
+            self.last_transport_result,
+            self.atom_data,
+            line_interaction_type=self.transport.line_interaction_type,
+        )
+        return self.spectrum_integrated
 
     def run(self):
         self.run_convergence()
