@@ -190,7 +190,11 @@ _MONTECARLO_DEFAULTS = {
     "enable_full_relativity": False,
     "enable_reflective_inner_boundary": False,
     "inner_boundary_albedo": 0.0,
-    "tracking": {"track_rpacket": False, "initial_array_length": 10},
+    "tracking": {
+        "track_rpacket": False,
+        "track_last_interaction": True,
+        "initial_array_length": 10,
+    },
     "virtual_spectrum_spawn_range": {"start": 0.0, "end": float("inf")},
     "debug_packets": False,
     # TPU-specific
@@ -221,7 +225,9 @@ def validate_config(raw: dict) -> ConfigDict:
 
     model = cfg.get("model", {})
     structure = dict(model.get("structure", {}))
-    if structure.get("type", "specific") == "specific":
+    if "csvy_model" in cfg:
+        structure = {"type": "csvy"}
+    elif structure.get("type", "specific") == "specific":
         vel = structure["velocity"]
         structure["velocity"] = {
             "start": parse_quantity(vel["start"]),
@@ -264,6 +270,7 @@ def validate_config(raw: dict) -> ConfigDict:
     out = {
         "tardis_config_version": cfg.get("tardis_config_version", "v1.0"),
         "supernova": sn,
+        "csvy_model": cfg.get("csvy_model"),
         "atom_data": cfg.get("atom_data", "synthetic"),
         "model": {"structure": structure, "abundances": abund},
         "plasma": plasma,

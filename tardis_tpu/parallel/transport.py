@@ -136,6 +136,12 @@ def run_transport_sharded(
         vp_shell=P("packets"),
         vp_next_line=P("packets"),
         vp_count=P(),
+        li_type=P("packets"),
+        li_in_line=P("packets"),
+        li_out_line=P("packets"),
+        li_shell=P("packets"),
+        li_in_nu=P("packets"),
+        li_r=P("packets"),
         n_steps=P(),
         n_events=P(),
     )

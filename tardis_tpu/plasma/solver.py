@@ -47,6 +47,9 @@ class PlasmaSolver:
         link_t_rad_t_electron: float = 0.9,
         w_epsilon: float = 1e-10,
         electron_densities: np.ndarray | None = None,
+        nlte_species: list | None = None,
+        nlte_coronal_approximation: bool = False,
+        nlte_classical_nebular: bool = False,
     ):
         assert ionization in ("lte", "nebular")
         assert excitation in ("lte", "dilute-lte")
@@ -63,6 +66,10 @@ class PlasmaSolver:
         self.w_epsilon = w_epsilon
         self.time_explosion = simulation_state.time_explosion
         self._fixed_electron_densities = electron_densities
+        self.nlte_species = list(nlte_species or [])
+        self.nlte_coronal_approximation = nlte_coronal_approximation
+        self.nlte_classical_nebular = nlte_classical_nebular
+        self._last_n_e = None
 
         self._build_index_maps(simulation_state)
 
@@ -185,6 +192,32 @@ class PlasmaSolver:
         bf = lte.level_boltzmann_factor(
             atom.level_energy, atom.level_g, atom.level_meta, beta, w_excitation
         )
+        if self.nlte_species:
+            # NLTE rate-equation level populations override the LTE rows
+            # (reference LevelBoltzmannFactorNLTE,
+            #  plasma/properties/partition_function.py:133-330)
+            from tardis_tpu.plasma.nlte import nlte_level_boltzmann_factor
+
+            if j_blues is None:
+                jb_for_nlte = lte.dilute_planck_j_blues(
+                    atom.line_nu, t_rad, w
+                )
+            else:
+                jb_for_nlte = j_blues
+            for species in self.nlte_species:
+                idx, bf_rows = nlte_level_boltzmann_factor(
+                    atom,
+                    species,
+                    t_rad,
+                    w,
+                    jb_for_nlte,
+                    electron_densities=self._last_n_e,
+                    t_electrons=t_electrons,
+                    coronal_approximation=self.nlte_coronal_approximation,
+                    classical_nebular=self.nlte_classical_nebular,
+                )
+                if len(idx):
+                    bf[idx] = bf_rows
         z_part = lte.partition_function(
             bf, atom.level_species_id, len(atom.species_z)
         )
@@ -203,8 +236,10 @@ class PlasmaSolver:
             phi,
             self.element_block_start,
             self.number_density,
+            n_electron_init=self._last_n_e,
             electron_densities=self._fixed_electron_densities,
         )
+        self._last_n_e = n_e
         ion_per_species = ion_density[self.species_ion_row]
         n_level = lte.level_number_density(
             bf, z_part, ion_per_species, atom.level_species_id

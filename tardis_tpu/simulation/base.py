@@ -106,7 +106,12 @@ class Simulation:
     # ------------------------------------------------------------------
     @classmethod
     def from_config(cls, config: ConfigDict, atom_data=None) -> "Simulation":
-        state = SimulationState.from_config(config)
+        if config.get("csvy_model"):
+            from tardis_tpu.io.csvy import simulation_state_from_csvy
+
+            state = simulation_state_from_csvy(config["csvy_model"], config)
+        else:
+            state = SimulationState.from_config(config)
         line_interaction_type = config.plasma.line_interaction_type
         if atom_data is None:
             path = config.atom_data
@@ -130,6 +135,20 @@ class Simulation:
                 "link_t_rad_t_electron", 0.9
             ),
             w_epsilon=config.plasma.get("w_epsilon", 1e-10),
+            nlte_species=[
+                __import__(
+                    "tardis_tpu.plasma.nlte", fromlist=["parse_species"]
+                ).parse_species(sp) if isinstance(sp, str) else tuple(sp)
+                for sp in config.plasma.get("nlte", {}).get("species", [])
+            ],
+            nlte_coronal_approximation=bool(
+                config.plasma.get("nlte", {}).get(
+                    "coronal_approximation", False
+                )
+            ),
+            nlte_classical_nebular=bool(
+                config.plasma.get("nlte", {}).get("classical_nebular", False)
+            ),
         )
         transport_solver = TransportSolver(
             line_interaction_type=line_interaction_type,
@@ -140,6 +159,14 @@ class Simulation:
                 "disable_line_scattering", False
             ),
             batch_size=config.montecarlo.get("batch_size", 65536),
+            track_last_interaction=bool(
+                config.montecarlo.get("tracking", {}).get(
+                    "track_last_interaction", True
+                )
+            ),
+            enable_full_relativity=bool(
+                config.montecarlo.get("enable_full_relativity", False)
+            ),
         )
         return cls(config, state, atom_data, plasma_solver, transport_solver)
 

@@ -75,6 +75,17 @@ class TransportStaticConfig(NamedTuple):
     # virtual packets: spawn-point recording in the main loop
     # (records are traced in a separate dense pass, transport/vpacket.py)
     vpacket_capacity: int = 0  # 0 = disabled
+    # last-interaction tracking (analogue of TrackerLastInteraction,
+    # reference packets/trackers/tracker_last_interaction.py:8)
+    track_last_interaction: bool = False
+    # unroll the macro-atom walk instead of a nested lax.while_loop
+    # (the nested while faults the TPU runtime at large table sizes)
+    unroll_macro_walk: bool = False
+    # full special-relativistic treatment (reference ENABLE_FULL_RELATIVITY):
+    # gamma-corrected doppler factors, aberration at emission, quadratic
+    # resonance-distance solve (monotonicity in line index is preserved,
+    # so the binary-search design carries over unchanged)
+    enable_full_relativity: bool = False
 
 
 def build_transport_tables(
@@ -84,6 +95,7 @@ def build_transport_tables(
     line_interaction_type: str = "scatter",
     disable_electron_scattering: bool = False,
     macro_state=None,
+    enable_full_relativity: bool = False,
 ):
     """Build device tables from host-side plasma/geometry state.
 
@@ -142,12 +154,22 @@ def build_transport_tables(
         macro_line=jnp.asarray(mline, jnp.int32),
         line2macro=jnp.asarray(line2macro, jnp.int32),
     )
+    import jax
+
+    on_accelerator = jax.default_backend() != "cpu"
     static = TransportStaticConfig(
         n_shells=S,
         n_lines=L,
         line_interaction_mode=mode,
-        max_macro_jumps=1 if mode == LINE_DOWNBRANCH else 40,
+        max_macro_jumps=(
+            1 if mode == LINE_DOWNBRANCH else (24 if on_accelerator else 40)
+        ),
         macro_block_bits=macro_block_bits,
         line_search_bits=int(np.ceil(np.log2(max(2, L)))) + 1,
+        enable_full_relativity=enable_full_relativity,
+        # nested while_loop faults the TPU runtime at large macro tables;
+        # an unrolled masked walk compiles and runs cleanly there, while
+        # XLA:CPU's LLVM backend prefers the small while_loop graph
+        unroll_macro_walk=on_accelerator,
     )
     return tables, static

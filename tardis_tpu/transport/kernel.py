@@ -86,6 +86,13 @@ class TransportCarry(NamedTuple):
     vp_shell: jnp.ndarray  # i32
     vp_next_line: jnp.ndarray  # i32
     vp_count: jnp.ndarray  # i32 scalar (attempted; clamp to capacity on use)
+    # last-interaction tracking (N,) (size-1 dummies when disabled)
+    li_type: jnp.ndarray  # i8: 0 none, 1 e-scatter, 2 line
+    li_in_line: jnp.ndarray  # i32 absorbed line id (-1 if none)
+    li_out_line: jnp.ndarray  # i32 emitted line id (-1 if none)
+    li_shell: jnp.ndarray  # i32
+    li_in_nu: jnp.ndarray  # f32 lab nu before interaction (scaled)
+    li_r: jnp.ndarray  # f32 radius at interaction (scaled)
     # diagnostics
     n_steps: jnp.ndarray  # i32 scalar
     n_events: jnp.ndarray  # i64-ish f32 accumulator
@@ -147,10 +154,6 @@ def _macro_walk(tables, static, i_event, shell, keys, is_line):
     em_line = i_event  # fallback: resonant scatter
     done = ~is_line
 
-    def cond(state):
-        jump, level, em_line, done = state
-        return (jump < static.max_macro_jumps) & ~jnp.all(done)
-
     def jump_body(state):
         jump, level, em_line, done = state
         u = _uniform_from_key(keys, _TAG_MACRO + jump)
@@ -168,9 +171,20 @@ def _macro_walk(tables, static, i_event, shell, keys, is_line):
         done = done | emit
         return jump + 1, level, em_line, done
 
-    _, level, em_line, done = lax.while_loop(
-        cond, jump_body, (jnp.zeros((), I32), level, em_line, done)
-    )
+    if static.unroll_macro_walk:
+        state = (jnp.zeros((), I32), level, em_line, done)
+        for _ in range(static.max_macro_jumps):
+            state = jump_body(state)
+        _, level, em_line, done = state
+    else:
+
+        def cond(state):
+            jump, level, em_line, done = state
+            return (jump < static.max_macro_jumps) & ~jnp.all(done)
+
+        _, level, em_line, done = lax.while_loop(
+            cond, jump_body, (jnp.zeros((), I32), level, em_line, done)
+        )
     return em_line
 
 
@@ -188,8 +202,13 @@ def make_transport_step(
     S = static.n_shells
     L = static.n_lines
     beta_inner = tables.r_inner[0]
-    macro_cum_flat = tables.macro_cum_prob.reshape(-1)
-    tables = tables._replace(macro_cum_prob=macro_cum_flat)
+    # flatten 2-D tables: 1-D dynamic gathers compile and run better on TPU
+    tables = tables._replace(
+        macro_cum_prob=tables.macro_cum_prob.reshape(-1),
+        tau_cum_hi=tables.tau_cum_hi.reshape(-1),
+        tau_cum_lo=tables.tau_cum_lo.reshape(-1),
+    )
+    LP1 = L + 1
 
     def count_gt(nu_thresh):
         """Number of lines with nu_i > nu_thresh (descending list)."""
@@ -206,9 +225,18 @@ def make_transport_step(
         ids_c = jnp.clip(new_ids, 0, n_packets - 1)
         b_mu = pool_mu[ids_c]
         b_nu_cmf = pool_nu_cmf[ids_c]
-        inv_dop = 1.0 / (1.0 - b_mu * beta_inner)
-        b_nu = b_nu_cmf * inv_dop
-        b_energy = inv_dop
+        if static.enable_full_relativity:
+            # (reference set_packet_props_full_relativity,
+            #  classic/packet_propagation.py:284-317)
+            gamma_in = 1.0 / jnp.sqrt(1.0 - beta_inner * beta_inner)
+            inv_dop = (1.0 + b_mu * beta_inner) * gamma_in
+            b_nu = b_nu_cmf * inv_dop
+            b_energy = inv_dop
+            b_mu = (b_mu + beta_inner) / (1.0 + beta_inner * b_mu)
+        else:
+            inv_dop = 1.0 / (1.0 - b_mu * beta_inner)
+            b_nu = b_nu_cmf * inv_dop
+            b_energy = inv_dop
 
         r = jnp.where(can_fill, beta_inner, carry.r)
         mu = jnp.where(can_fill, b_mu, carry.mu)
@@ -265,31 +293,64 @@ def make_transport_step(
         # ------------------------------------------------ 3. trace
         shell_c = jnp.clip(shell, 0, S - 1)
         z = mu * r
-        dop = 1.0 - z  # = 1 - mu*beta(r)  (homologous: beta = r/ct = r')
+        if static.enable_full_relativity:
+            gamma = 1.0 / jnp.sqrt(jnp.maximum(1.0 - r * r, 1e-12))
+            dop = (1.0 - z) * gamma
+        else:
+            dop = 1.0 - z  # = 1 - mu*beta(r)  (homologous: beta = r/ct)
         nu_cmf = nu * dop
         chi = tables.chi_e[shell_c]
+        if static.enable_full_relativity:
+            # (reference classic/packet_propagation.py:138-141)
+            chi = chi * dop
         r_in = tables.r_inner[shell_c]
         r_out = tables.r_outer[shell_c]
         d_b, delta_shell = _distance_boundary(r, mu, r_in, r_out)
 
         tau_event = -jnp.log(_uniform_from_key(keys, _TAG_TAU))
 
-        # lines with resonance before the boundary: nu_i > nu*(1-(z+d_b))
-        nu_thresh = nu * (1.0 - (z + d_b))
+        # lines with resonance before the boundary: nu_i > nu_cmf(boundary)
+        if static.enable_full_relativity:
+            y_b = z + d_b
+            rb2 = r * r + d_b * d_b + 2.0 * r * d_b * mu
+            nu_thresh = (
+                nu * (1.0 - y_b)
+                / jnp.sqrt(jnp.maximum(1.0 - rb2, 1e-12))
+            )
+        else:
+            nu_thresh = nu * (1.0 - (z + d_b))
         i_bound = jnp.maximum(count_gt(nu_thresh), next_line)
         i_bound = jnp.minimum(i_bound, L)
 
-        c0_hi = tables.tau_cum_hi[shell_c, next_line]
-        c0_lo = tables.tau_cum_lo[shell_c, next_line]
+        row0 = shell_c * LP1
+        c0_hi = tables.tau_cum_hi[row0 + next_line]
+        c0_lo = tables.tau_cum_lo[row0 + next_line]
 
-        def s_of(i):
-            zeta = 1.0 - tables.line_nu[jnp.clip(i, 0, L - 1)] / nu
-            return jnp.maximum(zeta - z, 0.0)
+        if static.enable_full_relativity:
+            # resonance: nu*(1-y)*gamma(sqrt(p^2+y^2)) = nu_i -> quadratic in
+            # y = mu*r + s (monotone in line index; cf. reference
+            # calculate_distance_line_full_relativity,
+            # transport/geometry/calculate_distances.py:198-221)
+            p2 = jnp.maximum(r * r * (1.0 - mu * mu), 0.0)
+
+            def s_of(i):
+                nu_i = tables.line_nu[jnp.clip(i, 0, L - 1)]
+                a = nu_i * nu_i
+                b = nu * nu
+                disc = jnp.maximum(a * (a - (a + b) * p2), 0.0)
+                y = (b - jnp.sqrt(disc)) / (a + b)
+                return jnp.maximum(y - z, 0.0)
+
+        else:
+
+            def s_of(i):
+                zeta = 1.0 - tables.line_nu[jnp.clip(i, 0, L - 1)] / nu
+                return jnp.maximum(zeta - z, 0.0)
 
         def dC(i):  # cumulative line tau over [next_line, i)
             return df32_diff(
-                tables.tau_cum_hi[shell_c, i],
-                tables.tau_cum_lo[shell_c, i],
+                tables.tau_cum_hi[row0 + i],
+                tables.tau_cum_lo[row0 + i],
                 c0_hi,
                 c0_lo,
             )
@@ -332,15 +393,25 @@ def make_transport_step(
         # ------------------------------------------------ 4. estimators
         live_f = alive.astype(F32)
         e_com = energy * dop
-        w_j = live_f * e_com * distance
+        # full relativity: length contraction of the estimator path
+        # (reference packets/movement.py:63-71)
+        path = distance * dop if static.enable_full_relativity else distance
+        w_j = live_f * e_com * path
         onehot = (shell_c[:, None] == jnp.arange(S)[None, :]).astype(F32)
         est_j = carry.est_j + jnp.sum(w_j[:, None] * onehot, axis=0)
         est_nubar = carry.est_nubar + jnp.sum(
             (w_j * nu_cmf)[:, None] * onehot, axis=0
         )
 
-        w1 = live_f * energy / (nu * nu)  # j_blue weight
-        w2 = live_f * energy / nu  # e_dot weight
+        if static.enable_full_relativity:
+            # increments are line-independent: E/nu and E (reference
+            # calc_packet_energy_full_relativity) — finalize must NOT apply
+            # the nu_i factor in this mode
+            w1 = live_f * energy / nu  # j_blue weight
+            w2 = live_f * energy  # e_dot weight
+        else:
+            w1 = live_f * energy / (nu * nu)  # j_blue weight
+            w2 = live_f * energy / nu  # e_dot weight
         idx_a = next_line * S + shell_c
         idx_b = end_line * S + shell_c
         jblue_diff = (
@@ -365,10 +436,19 @@ def make_transport_step(
         emitted = is_boundary & (new_shell >= S)
         reabsorbed = is_boundary & (new_shell < 0)
 
-        # scatter/line common: new direction in CMF
+        # scatter/line common: new direction drawn in CMF
         mu_draw = 2.0 * _uniform_from_key(keys, _TAG_MU) - 1.0
-        dop_old_pos = 1.0 - mu_new * r_new
-        inv_dop_new = 1.0 / (1.0 - mu_draw * r_new)
+        if static.enable_full_relativity:
+            gamma_new = 1.0 / jnp.sqrt(jnp.maximum(1.0 - r_new * r_new,
+                                                   1e-12))
+            dop_old_pos = (1.0 - mu_new * r_new) * gamma_new
+            inv_dop_new = (1.0 + mu_draw * r_new) * gamma_new
+            # aberration CMF -> LF (reference frame_transformations.py:89)
+            mu_emit = (mu_draw + r_new) / (1.0 + r_new * mu_draw)
+        else:
+            dop_old_pos = 1.0 - mu_new * r_new
+            inv_dop_new = 1.0 / (1.0 - mu_draw * r_new)
+            mu_emit = mu_draw
 
         # Thomson (reference interaction_events.py:184-218)
         nu_escat = nu * dop_old_pos * inv_dop_new
@@ -387,11 +467,12 @@ def make_transport_step(
         e_line = energy * dop_old_pos * inv_dop_new
 
         interacts = is_escat | is_line
+        nu_pre_interaction = nu
         nu = jnp.where(is_escat, nu_escat, jnp.where(is_line, nu_line_new, nu))
         energy = jnp.where(
             is_escat, e_escat, jnp.where(is_line, e_line, energy)
         )
-        mu_after = jnp.where(interacts, mu_draw, mu_new)
+        mu_after = jnp.where(interacts, mu_emit, mu_new)
         next_line = jnp.where(
             is_line, em_line + 1, jnp.where(alive, end_line, next_line)
         )
@@ -399,6 +480,28 @@ def make_transport_step(
         r = jnp.where(alive, r_new, r)
         mu = jnp.where(alive, mu_after, mu)
         shell = jnp.where(is_boundary & ~emitted & ~reabsorbed, new_shell, shell)
+
+        # last-interaction tracking (one scatter-set per field at pkt_id)
+        if static.track_last_interaction:
+            tr_idx = jnp.where(interacts, pkt_id, n_packets + 1)
+            li_type = carry.li_type.at[tr_idx].set(
+                jnp.where(is_line, 2, 1).astype(jnp.int8), mode="drop"
+            )
+            li_in_line = carry.li_in_line.at[tr_idx].set(
+                jnp.where(is_line, i_event, -1), mode="drop"
+            )
+            li_out_line = carry.li_out_line.at[tr_idx].set(
+                jnp.where(is_line, em_line, -1), mode="drop"
+            )
+            li_shell = carry.li_shell.at[tr_idx].set(shell_c, mode="drop")
+            li_in_nu = carry.li_in_nu.at[tr_idx].set(
+                nu_pre_interaction, mode="drop"
+            )
+            li_r = carry.li_r.at[tr_idx].set(r, mode="drop")
+        else:
+            li_type, li_in_line = carry.li_type, carry.li_in_line
+            li_out_line, li_shell = carry.li_out_line, carry.li_shell
+            li_in_nu, li_r = carry.li_in_nu, carry.li_r
 
         # interaction vpacket spawn records (reference
         # packet_propagation.py:186-227: volley after line/e-scatter events)
@@ -454,6 +557,12 @@ def make_transport_step(
             vp_shell=vp_shell,
             vp_next_line=vp_next_line,
             vp_count=vp_count,
+            li_type=li_type,
+            li_in_line=li_in_line,
+            li_out_line=li_out_line,
+            li_shell=li_shell,
+            li_in_nu=li_in_nu,
+            li_r=li_r,
             n_steps=carry.n_steps + 1,
             n_events=carry.n_events + jnp.sum(alive.astype(F32)),
         )
@@ -465,6 +574,7 @@ def init_carry(static: TransportStaticConfig, batch_size: int, n_packets: int):
     B = batch_size
     S, L = static.n_shells, static.n_lines
     R = max(static.vpacket_capacity, 1)
+    T = n_packets if static.track_last_interaction else 1
     z = jnp.zeros
     return TransportCarry(
         r=z(B, F32),
@@ -491,6 +601,12 @@ def init_carry(static: TransportStaticConfig, batch_size: int, n_packets: int):
         vp_shell=z(R, I32),
         vp_next_line=z(R, I32),
         vp_count=jnp.zeros((), I32),
+        li_type=z(T, jnp.int8),
+        li_in_line=jnp.full(T, -1, I32),
+        li_out_line=jnp.full(T, -1, I32),
+        li_shell=z(T, I32),
+        li_in_nu=z(T, F32),
+        li_r=z(T, F32),
         n_steps=jnp.zeros((), I32),
         n_events=jnp.zeros((), F32),
     )

@@ -49,6 +49,8 @@ class TransportResult:
     nu_bar_estimator: np.ndarray  # (S,) erg cm Hz
     j_blue_estimator: np.ndarray  # (L, S)
     edot_lu_estimator: np.ndarray  # (L, S)
+    # last-interaction tracking (None unless enabled)
+    last_interaction: dict | None  # arrays keyed by name, physical units
     # virtual-packet spectrum (None unless vpackets enabled)
     virt_nu_edges: np.ndarray | None  # (M+1,) Hz
     virt_energy_hist: np.ndarray | None  # (M,) erg (attenuated vp energies)
@@ -83,6 +85,8 @@ class TransportSolver:
         batch_size: int = 65536,
         w_epsilon: float = 1e-10,
         vpacket_records_per_packet: int = 8,
+        track_last_interaction: bool = False,
+        enable_full_relativity: bool = False,
     ):
         self.line_interaction_type = line_interaction_type
         self.disable_electron_scattering = disable_electron_scattering
@@ -90,6 +94,8 @@ class TransportSolver:
         self.batch_size = batch_size
         self.w_epsilon = w_epsilon
         self.vpacket_records_per_packet = vpacket_records_per_packet
+        self.track_last_interaction = track_last_interaction
+        self.enable_full_relativity = enable_full_relativity
 
     # ------------------------------------------------------------------
     def run_iteration(
@@ -126,6 +132,7 @@ class TransportSolver:
             line_interaction_type=self.line_interaction_type,
             disable_electron_scattering=self.disable_electron_scattering,
             macro_state=macro_state,
+            enable_full_relativity=self.enable_full_relativity,
         )
         if self.disable_line_scattering:
             static = static._replace(disable_line_scattering=True)
@@ -135,6 +142,8 @@ class TransportSolver:
                     n_packets * self.vpacket_records_per_packet
                 )
             )
+        if self.track_last_interaction:
+            static = static._replace(track_last_interaction=True)
 
         base_key = jax.random.key(np.uint32(seed))
         src_key = jax.random.fold_in(base_key, 2 * iteration)
@@ -213,10 +222,28 @@ class TransportSolver:
             np.asarray(carry.edot_diff, dtype=np.float64).reshape(L + 1, S),
             axis=0,
         )[:L]
-        j_blue = jb * nu_scaled[:, None] * (e0 / NU_UNIT)
-        edot = ed * nu_scaled[:, None] * e0
+        if self.enable_full_relativity:
+            # FR increments are line-independent (see kernel step 4)
+            j_blue = jb * (e0 / NU_UNIT)
+            edot = ed * e0
+        else:
+            j_blue = jb * nu_scaled[:, None] * (e0 / NU_UNIT)
+            edot = ed * nu_scaled[:, None] * e0
+
+        last_interaction = None
+        if self.track_last_interaction:
+            last_interaction = {
+                "type": np.asarray(carry.li_type),
+                "in_line": np.asarray(carry.li_in_line),
+                "out_line": np.asarray(carry.li_out_line),
+                "shell": np.asarray(carry.li_shell),
+                "in_nu": np.asarray(carry.li_in_nu, dtype=np.float64)
+                * NU_UNIT,
+                "r": np.asarray(carry.li_r, dtype=np.float64) * ct,
+            }
 
         return TransportResult(
+            last_interaction=last_interaction,
             output_nu=np.asarray(carry.out_nu, dtype=np.float64) * NU_UNIT,
             output_energy=np.asarray(carry.out_energy, dtype=np.float64) * e0,
             output_status=np.asarray(carry.out_status),

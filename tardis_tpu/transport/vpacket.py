@@ -47,6 +47,9 @@ def _trace_tau(tables, static, r0, mu, shell0, next_line, nu_lab):
     pay one binary search per shell segment.
     """
     S = static.n_shells
+    LP1 = static.n_lines + 1
+    tau_hi_flat = tables.tau_cum_hi.reshape(-1)
+    tau_lo_flat = tables.tau_cum_lo.reshape(-1)
     p2 = jnp.maximum(r0 * r0 * (1.0 - mu * mu), 0.0)  # impact param^2
     z = mu * r0
 
@@ -74,11 +77,12 @@ def _trace_tau(tables, static, r0, mu, shell0, next_line, nu_lab):
         delta = jnp.where(reaches_inner, -1, 1)
         # lines crossed in (z, z_next]: nu_i > nu_lab * (1 - z_next)
         i_next = jnp.maximum(count_gt(nu_lab * (1.0 - z_next)), i_cur)
+        row0 = shell_c * LP1
         d_tau_line = df32_diff(
-            tables.tau_cum_hi[shell_c, i_next],
-            tables.tau_cum_lo[shell_c, i_next],
-            tables.tau_cum_hi[shell_c, i_cur],
-            tables.tau_cum_lo[shell_c, i_cur],
+            tau_hi_flat[row0 + i_next],
+            tau_lo_flat[row0 + i_next],
+            tau_hi_flat[row0 + i_cur],
+            tau_lo_flat[row0 + i_cur],
         )
         d_tau = d_tau_line + tables.chi_e[shell_c] * jnp.maximum(
             z_next - z, 0.0

@@ -157,3 +157,30 @@ def test_nebular_ionization_runs(sim_state, atom_data_prepared):
     ps = solver.update(sim_state.t_radiative, sim_state.dilution_factor)
     assert np.all(np.isfinite(ps.electron_densities))
     assert np.all(ps.electron_densities > 0)
+
+
+def test_nlte_level_populations(sim_state, atom_data_prepared):
+    """NLTE species levels deviate from LTE and conserve particles."""
+    solver = PlasmaSolver(
+        atom_data_prepared,
+        sim_state,
+        nlte_species=[(14, 1)],  # Si II
+    )
+    ps_nlte = solver.update(sim_state.t_radiative, sim_state.dilution_factor)
+    solver_lte = PlasmaSolver(atom_data_prepared, sim_state)
+    ps_lte = solver_lte.update(
+        sim_state.t_radiative, sim_state.dilution_factor
+    )
+    atom = atom_data_prepared
+    sel = (atom.level_z == 14) & (atom.level_ion == 1)
+    n_nlte = ps_nlte.level_number_density[sel]
+    n_lte = ps_lte.level_number_density[sel]
+    # total species population conserved (same Saha ion balance applies
+    # approximately; partition function changes shift it slightly)
+    assert np.all(np.isfinite(n_nlte))
+    assert np.all(n_nlte >= 0)
+    tot_ratio = n_nlte.sum(0) / n_lte.sum(0)
+    assert np.all((tot_ratio > 0.2) & (tot_ratio < 5.0))
+    # populations differ from LTE (the whole point)
+    rel = np.abs(n_nlte - n_lte) / np.maximum(n_lte, 1e-300)
+    assert rel.max() > 0.01

@@ -201,3 +201,32 @@ def test_thomson_only_redshifts_spectrum(setup):
     st = np.asarray(carry.out_status)
     assert (st != 0).all()
     assert (st == 2).sum() > 0  # some backscattered into the core
+
+
+def test_full_relativity_mode(setup):
+    """Full-relativity kernel runs and matches partial relativity to O(beta)."""
+    cfg, state, atom, ps, _, _ = setup
+    from tardis_tpu.transport.device_state import build_transport_tables
+
+    tables_fr, static_fr = build_transport_tables(
+        state.geometry, ps, atom, "scatter", enable_full_relativity=True
+    )
+    N = 400
+    key = jax.random.key(np.uint32(17))
+    pool_mu, pool_nu = sample_blackbody_packets(
+        jax.random.fold_in(key, 0), N, state.t_inner
+    )
+    carry = _run(tables_fr, static_fr, pool_mu, pool_nu,
+                 jax.random.fold_in(key, 1), N, 128)
+    st = np.asarray(carry.out_status)
+    assert (st != 0).all()
+    # beta ~ 0.04-0.07: escaped fraction should agree with partial
+    # relativity within a few percent
+    tables_pr, static_pr = build_transport_tables(
+        state.geometry, ps, atom, "scatter"
+    )
+    carry_pr = _run(tables_pr, static_pr, pool_mu, pool_nu,
+                    jax.random.fold_in(key, 1), N, 128)
+    frac_fr = (st == 1).mean()
+    frac_pr = (np.asarray(carry_pr.out_status) == 1).mean()
+    assert abs(frac_fr - frac_pr) < 0.1
