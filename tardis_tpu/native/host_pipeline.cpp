@@ -1,0 +1,110 @@
+// Native host-side per-iteration table pipeline.
+//
+// At kurucz scale (L ~ 5e5 lines, S ~ 20 shells) the per-iteration host work
+// is dominated by building the transport tables: per-shell prefix sums of
+// tau_sobolev with two-float splitting (~100 MB of traffic), and the
+// macro-atom cumulative block probabilities (~250 MB).  numpy needs several
+// temporaries and passes; these fused OpenMP kernels do each in one pass.
+//
+// This is the TPU-native analogue of the reference's OpacityState.to_numba
+// packing step (/root/reference/tardis/opacities/opacity_state.py:157), which
+// is tracked as its own benchmark in the reference suite
+// (benchmarks/opacities_opacity_state.py:12-29).
+//
+// Build: make -C tardis_tpu/native   (produces libhost_pipeline.so)
+
+#include <cmath>
+#include <cstdint>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+extern "C" {
+
+// tau: (L, S) float64 line-major (numpy C-order [line][shell]).
+// Writes hi/lo: (S, L+1) float32 per-shell inclusive prefix sums with a
+// leading zero, split into two-float (hi + lo == f64 prefix sum).
+void prefix_split(const double* tau, int64_t L, int64_t S,
+                  float* hi, float* lo) {
+#pragma omp parallel for schedule(static)
+  for (int64_t s = 0; s < S; ++s) {
+    double acc = 0.0;
+    float* hrow = hi + s * (L + 1);
+    float* lrow = lo + s * (L + 1);
+    hrow[0] = 0.0f;
+    lrow[0] = 0.0f;
+    for (int64_t i = 0; i < L; ++i) {
+      acc += tau[i * S + s];
+      float h = (float)acc;
+      hrow[i + 1] = h;
+      lrow[i + 1] = (float)(acc - (double)h);
+    }
+  }
+}
+
+// Macro-atom transition probabilities, fused:
+//   p_t = coef[t] * beta[line_idx[t]]         (all transitions)
+//   p_t *= stim[line] * jblue[line]           (internal-up only, type == 1)
+// then per source-level block [refs[m], refs[m+1]) cumulative-normalize,
+// forcing the last entry to exactly 1 (categorical sampling closure).
+// beta/jblue/stim: (L, S) float64 line-major.  out: (T, S) float32.
+void macro_cum_probs(const double* coef, const int32_t* line_idx,
+                     const int8_t* ttype, const double* beta,
+                     const double* jblue, const double* stim,
+                     const int32_t* refs, int64_t T, int64_t M, int64_t S,
+                     float* out) {
+#pragma omp parallel for schedule(dynamic, 64)
+  for (int64_t m = 0; m < M; ++m) {
+    int64_t b0 = refs[m], b1 = refs[m + 1];
+    if (b1 <= b0) continue;
+    for (int64_t s = 0; s < S; ++s) {
+      double total = 0.0;
+      for (int64_t t = b0; t < b1; ++t) {
+        int64_t li = (int64_t)line_idx[t] * S + s;
+        double p = coef[t] * beta[li];
+        if (ttype[t] == 1) p *= stim[li] * jblue[li];
+        total += p;
+        out[t * S + s] = (float)total;  // unnormalized cumulative (pass 1)
+      }
+      float inv = (total > 0.0) ? (float)(1.0 / total) : 0.0f;
+      if (total > 0.0) {
+        for (int64_t t = b0; t < b1; ++t) out[t * S + s] *= inv;
+      } else {
+        for (int64_t t = b0; t < b1; ++t) out[t * S + s] = 1.0f;
+      }
+      out[(b1 - 1) * S + s] = 1.0f;
+    }
+  }
+}
+
+// Fused tau_sobolev + beta_sobolev:
+//   tau[l,s] = coefficient * wl_flu[l] * t_exp * stim[l,s] * n_lower[l,s]
+//   beta = (1 - exp(-tau)) / tau   (stable branches)
+void tau_and_beta(const double* wl_flu, const double* stim,
+                  const double* n_lower, double coeff_texp,
+                  int64_t L, int64_t S, double* tau, double* beta) {
+#pragma omp parallel for schedule(static)
+  for (int64_t l = 0; l < L; ++l) {
+    double c = coeff_texp * wl_flu[l];
+    for (int64_t s = 0; s < S; ++s) {
+      double t = c * stim[l * S + s] * n_lower[l * S + s];
+      tau[l * S + s] = t;
+      double b;
+      if (t > 1e3) b = 1.0 / t;
+      else if (t < 1e-4) b = 1.0 - 0.5 * t;
+      else b = -std::expm1(-t) / t;
+      beta[l * S + s] = b;
+    }
+  }
+}
+
+int openmp_threads() {
+#ifdef _OPENMP
+  return omp_get_max_threads();
+#else
+  return 1;
+#endif
+}
+
+}  // extern "C"

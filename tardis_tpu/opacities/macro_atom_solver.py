@@ -57,6 +57,27 @@ def solve_macro_state(
     :func:`tardis_tpu.transport.device_state.build_transport_tables`:
     (cum_prob (T,S) f32, block_start, dest, emit, line, line2macro).
     """
+    from tardis_tpu import native
+
+    cum_native = native.macro_cum_probs(
+        macro.coef,
+        macro.transition_line_id,
+        macro.transition_type,
+        beta_sobolev,
+        j_blues,
+        stim_factor,
+        macro.block_references,
+    )
+    if cum_native is not None:
+        return (
+            cum_native,
+            macro.block_references.astype(np.int32),
+            macro.destination_level_id.astype(np.int32),
+            (macro.transition_type < 0),
+            macro.transition_line_id.astype(np.int32),
+            macro.line2macro_level_upper.astype(np.int32),
+        )
+
     line_idx = macro.transition_line_id
     p = macro.coef[:, None] * beta_sobolev[line_idx]  # (T, S)
     up = macro.transition_type == MACRO_INTERNAL_UP

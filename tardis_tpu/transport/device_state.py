@@ -112,10 +112,11 @@ def build_transport_tables(
     L = atom_data.n_lines
 
     tau = plasma_state.tau_sobolev  # (L, S) f64
-    # per-shell prefix sums with leading zero -> (S, L+1)
-    cum = np.zeros((S, L + 1), dtype=np.float64)
-    np.cumsum(tau.T, axis=1, out=cum[:, 1:])
-    hi, lo = split_f64_to_f32_pair(cum)
+    # per-shell prefix sums with leading zero -> (S, L+1); fused native
+    # pipeline when built (tardis_tpu/native), numpy fallback otherwise
+    from tardis_tpu import native
+
+    hi, lo = native.prefix_split(tau)
 
     sigma = 1e-200 if disable_electron_scattering else SIGMA_THOMSON
     chi_e = (sigma * plasma_state.electron_densities * ct).astype(np.float32)

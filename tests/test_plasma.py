@@ -184,3 +184,45 @@ def test_nlte_level_populations(sim_state, atom_data_prepared):
     # populations differ from LTE (the whole point)
     rel = np.abs(n_nlte - n_lte) / np.maximum(n_lte, 1e-300)
     assert rel.max() > 0.01
+
+
+def test_native_pipeline_matches_numpy(plasma_state, atom_data_prepared):
+    """Native C++ host pipeline must agree with numpy reference."""
+    from tardis_tpu import native
+
+    if not native.available():
+        pytest.skip("native library not built")
+    tau = plasma_state.tau_sobolev
+    hi, lo = native.prefix_split(tau)
+    cum = np.cumsum(tau.T, axis=1)
+    np.testing.assert_allclose(
+        hi[:, 1:].astype(np.float64) + lo[:, 1:], cum, rtol=1e-12, atol=1e-6
+    )
+    # macro cumulative probabilities vs the numpy path
+    from tardis_tpu.opacities import macro_atom_solver as mas
+
+    macro = atom_data_prepared.macro_atom
+    args = (
+        macro,
+        plasma_state.beta_sobolev,
+        plasma_state.j_blues,
+        plasma_state.stimulated_emission_factor,
+    )
+    cum_native = native.macro_cum_probs(
+        macro.coef,
+        macro.transition_line_id,
+        macro.transition_type,
+        plasma_state.beta_sobolev,
+        plasma_state.j_blues,
+        plasma_state.stimulated_emission_factor,
+        macro.block_references,
+    )
+    # numpy path: temporarily monkeypatch native off
+    import unittest.mock as mock
+
+    import tardis_tpu.native as native_mod
+
+    with mock.patch.object(native_mod, "macro_cum_probs",
+                           lambda *a, **k: None):
+        cum_np = mas.solve_macro_state(*args)[0]
+    np.testing.assert_allclose(cum_native, cum_np, atol=2e-6)
