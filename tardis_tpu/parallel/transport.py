@@ -136,6 +136,11 @@ def run_transport_sharded(
         vp_shell=P("packets"),
         vp_next_line=P("packets"),
         vp_count=P(),
+        tr_r=P("packets"),
+        tr_nu=P("packets"),
+        tr_energy=P("packets"),
+        tr_shell=P("packets"),
+        tr_type=P("packets"),
         li_type=P("packets"),
         li_in_line=P("packets"),
         li_out_line=P("packets"),

@@ -167,6 +167,24 @@ class Simulation:
             enable_full_relativity=bool(
                 config.montecarlo.get("enable_full_relativity", False)
             ),
+            track_rpacket_length=(
+                int(
+                    config.montecarlo.get("tracking", {}).get(
+                        "initial_array_length", 10
+                    )
+                )
+                if config.montecarlo.get("tracking", {}).get(
+                    "track_rpacket", False
+                )
+                else 0
+            ),
+            inner_boundary_albedo=(
+                float(config.montecarlo.get("inner_boundary_albedo", 0.0))
+                if config.montecarlo.get(
+                    "enable_reflective_inner_boundary", False
+                )
+                else 0.0
+            ),
         )
         return cls(config, state, atom_data, plasma_solver, transport_solver)
 

@@ -78,6 +78,13 @@ class TransportStaticConfig(NamedTuple):
     # last-interaction tracking (analogue of TrackerLastInteraction,
     # reference packets/trackers/tracker_last_interaction.py:8)
     track_last_interaction: bool = False
+    # full per-event tracker: first K events per packet (analogue of
+    # TrackerFull, reference packets/trackers/tracker_full.py:19; fixed
+    # capacity instead of grow-by-doubling)
+    track_rpacket_length: int = 0  # 0 = disabled
+    # reflective inner boundary (reference enable_reflective_inner_boundary
+    # + inner_boundary_albedo config, montecarlo schema)
+    inner_boundary_albedo: float = 0.0
     # unroll the macro-atom walk instead of a nested lax.while_loop
     # (the nested while faults the TPU runtime at large table sizes)
     unroll_macro_walk: bool = False

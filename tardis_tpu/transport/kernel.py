@@ -86,6 +86,12 @@ class TransportCarry(NamedTuple):
     vp_shell: jnp.ndarray  # i32
     vp_next_line: jnp.ndarray  # i32
     vp_count: jnp.ndarray  # i32 scalar (attempted; clamp to capacity on use)
+    # full tracker: (N*K,) flattened event logs (size-1 when disabled)
+    tr_r: jnp.ndarray  # f32
+    tr_nu: jnp.ndarray  # f32
+    tr_energy: jnp.ndarray  # f32
+    tr_shell: jnp.ndarray  # i8
+    tr_type: jnp.ndarray  # i8 (0 none, 1 escat, 2 line, 3 boundary)
     # last-interaction tracking (N,) (size-1 dummies when disabled)
     li_type: jnp.ndarray  # i8: 0 none, 1 e-scatter, 2 line
     li_in_line: jnp.ndarray  # i32 absorbed line id (-1 if none)
@@ -434,7 +440,16 @@ def make_transport_step(
         # boundary
         new_shell = shell + jnp.where(is_boundary, delta_shell, 0)
         emitted = is_boundary & (new_shell >= S)
-        reabsorbed = is_boundary & (new_shell < 0)
+        hits_core = is_boundary & (new_shell < 0)
+        if static.inner_boundary_albedo > 0.0:
+            # reflective inner boundary (reference
+            # enable_reflective_inner_boundary config)
+            u_alb = _uniform_from_key(keys, 5)
+            reflected = hits_core & (u_alb < static.inner_boundary_albedo)
+            reabsorbed = hits_core & ~reflected
+        else:
+            reflected = jnp.zeros_like(hits_core)
+            reabsorbed = hits_core
 
         # scatter/line common: new direction drawn in CMF
         mu_draw = 2.0 * _uniform_from_key(keys, _TAG_MU) - 1.0
@@ -478,8 +493,34 @@ def make_transport_step(
         )
 
         r = jnp.where(alive, r_new, r)
-        mu = jnp.where(alive, mu_after, mu)
-        shell = jnp.where(is_boundary & ~emitted & ~reabsorbed, new_shell, shell)
+        mu = jnp.where(alive, jnp.where(reflected, -mu_after, mu_after), mu)
+        shell = jnp.where(
+            is_boundary & ~emitted & ~reabsorbed & ~reflected,
+            new_shell, shell,
+        )
+
+        # full tracker writes (event log capped at K events per packet)
+        if static.track_rpacket_length > 0:
+            K = static.track_rpacket_length
+            slot_ok = alive & (event_idx < K)
+            widx_t = jnp.where(
+                slot_ok, pkt_id * K + jnp.minimum(event_idx, K - 1),
+                n_packets * K + 1,
+            )
+            ev_code = jnp.where(
+                is_line, 2, jnp.where(is_escat, 1, 3)
+            ).astype(jnp.int8)
+            tr_r = carry.tr_r.at[widx_t].set(r, mode="drop")
+            tr_nu = carry.tr_nu.at[widx_t].set(nu, mode="drop")
+            tr_energy = carry.tr_energy.at[widx_t].set(energy, mode="drop")
+            tr_shell = carry.tr_shell.at[widx_t].set(
+                shell.astype(jnp.int8), mode="drop"
+            )
+            tr_type = carry.tr_type.at[widx_t].set(ev_code, mode="drop")
+        else:
+            tr_r, tr_nu = carry.tr_r, carry.tr_nu
+            tr_energy, tr_shell = carry.tr_energy, carry.tr_shell
+            tr_type = carry.tr_type
 
         # last-interaction tracking (one scatter-set per field at pkt_id)
         if static.track_last_interaction:
@@ -557,6 +598,11 @@ def make_transport_step(
             vp_shell=vp_shell,
             vp_next_line=vp_next_line,
             vp_count=vp_count,
+            tr_r=tr_r,
+            tr_nu=tr_nu,
+            tr_energy=tr_energy,
+            tr_shell=tr_shell,
+            tr_type=tr_type,
             li_type=li_type,
             li_in_line=li_in_line,
             li_out_line=li_out_line,
@@ -575,6 +621,11 @@ def init_carry(static: TransportStaticConfig, batch_size: int, n_packets: int):
     S, L = static.n_shells, static.n_lines
     R = max(static.vpacket_capacity, 1)
     T = n_packets if static.track_last_interaction else 1
+    TRK = (
+        n_packets * static.track_rpacket_length
+        if static.track_rpacket_length > 0
+        else 1
+    )
     z = jnp.zeros
     return TransportCarry(
         r=z(B, F32),
@@ -601,6 +652,11 @@ def init_carry(static: TransportStaticConfig, batch_size: int, n_packets: int):
         vp_shell=z(R, I32),
         vp_next_line=z(R, I32),
         vp_count=jnp.zeros((), I32),
+        tr_r=z(TRK, F32),
+        tr_nu=z(TRK, F32),
+        tr_energy=z(TRK, F32),
+        tr_shell=z(TRK, jnp.int8),
+        tr_type=z(TRK, jnp.int8),
         li_type=z(T, jnp.int8),
         li_in_line=jnp.full(T, -1, I32),
         li_out_line=jnp.full(T, -1, I32),

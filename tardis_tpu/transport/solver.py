@@ -49,6 +49,8 @@ class TransportResult:
     nu_bar_estimator: np.ndarray  # (S,) erg cm Hz
     j_blue_estimator: np.ndarray  # (L, S)
     edot_lu_estimator: np.ndarray  # (L, S)
+    # full per-event tracker (None unless enabled): dict of (N, K) arrays
+    rpacket_tracker: dict | None
     # last-interaction tracking (None unless enabled)
     last_interaction: dict | None  # arrays keyed by name, physical units
     # virtual-packet spectrum (None unless vpackets enabled)
@@ -87,6 +89,8 @@ class TransportSolver:
         vpacket_records_per_packet: int = 8,
         track_last_interaction: bool = False,
         enable_full_relativity: bool = False,
+        track_rpacket_length: int = 0,
+        inner_boundary_albedo: float = 0.0,
     ):
         self.line_interaction_type = line_interaction_type
         self.disable_electron_scattering = disable_electron_scattering
@@ -96,6 +100,8 @@ class TransportSolver:
         self.vpacket_records_per_packet = vpacket_records_per_packet
         self.track_last_interaction = track_last_interaction
         self.enable_full_relativity = enable_full_relativity
+        self.track_rpacket_length = track_rpacket_length
+        self.inner_boundary_albedo = inner_boundary_albedo
 
     # ------------------------------------------------------------------
     def run_iteration(
@@ -144,6 +150,14 @@ class TransportSolver:
             )
         if self.track_last_interaction:
             static = static._replace(track_last_interaction=True)
+        if self.track_rpacket_length > 0:
+            static = static._replace(
+                track_rpacket_length=self.track_rpacket_length
+            )
+        if self.inner_boundary_albedo > 0.0:
+            static = static._replace(
+                inner_boundary_albedo=float(self.inner_boundary_albedo)
+            )
 
         base_key = jax.random.key(np.uint32(seed))
         src_key = jax.random.fold_in(base_key, 2 * iteration)
@@ -230,6 +244,21 @@ class TransportSolver:
             j_blue = jb * nu_scaled[:, None] * (e0 / NU_UNIT)
             edot = ed * nu_scaled[:, None] * e0
 
+        rpacket_tracker = None
+        if self.track_rpacket_length > 0:
+            K = self.track_rpacket_length
+            N = n_packets
+            rpacket_tracker = {
+                "r": np.asarray(carry.tr_r, np.float64).reshape(N, K) * ct,
+                "nu": np.asarray(carry.tr_nu, np.float64).reshape(N, K)
+                * NU_UNIT,
+                "energy": np.asarray(carry.tr_energy, np.float64).reshape(
+                    N, K
+                ),
+                "shell": np.asarray(carry.tr_shell).reshape(N, K),
+                "type": np.asarray(carry.tr_type).reshape(N, K),
+            }
+
         last_interaction = None
         if self.track_last_interaction:
             last_interaction = {
@@ -243,6 +272,7 @@ class TransportSolver:
             }
 
         return TransportResult(
+            rpacket_tracker=rpacket_tracker,
             last_interaction=last_interaction,
             output_nu=np.asarray(carry.out_nu, dtype=np.float64) * NU_UNIT,
             output_energy=np.asarray(carry.out_energy, dtype=np.float64) * e0,

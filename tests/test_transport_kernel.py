@@ -230,3 +230,29 @@ def test_full_relativity_mode(setup):
     frac_fr = (st == 1).mean()
     frac_pr = (np.asarray(carry_pr.out_status) == 1).mean()
     assert abs(frac_fr - frac_pr) < 0.1
+
+
+def test_full_tracker_and_reflective_boundary(setup):
+    cfg, state, atom, ps, tables, static = setup
+    N, K = 200, 16
+    st_track = static._replace(track_rpacket_length=K,
+                               inner_boundary_albedo=0.0)
+    key = jax.random.key(np.uint32(23))
+    pool_mu, pool_nu = sample_blackbody_packets(
+        jax.random.fold_in(key, 0), N, state.t_inner
+    )
+    carry = _run(tables, st_track, pool_mu, pool_nu,
+                 jax.random.fold_in(key, 1), N, 64)
+    tr_type = np.asarray(carry.tr_type).reshape(N, K)
+    tr_r = np.asarray(carry.tr_r).reshape(N, K)
+    # every packet logged at least its first event
+    assert (tr_type[:, 0] != 0).all()
+    assert (tr_r[tr_type != 0] > 0).all()
+
+    # reflective boundary with albedo=1: nothing is reabsorbed
+    st_refl = static._replace(inner_boundary_albedo=1.0)
+    carry2 = _run(tables, st_refl, pool_mu, pool_nu,
+                  jax.random.fold_in(key, 1), N, 64)
+    st2 = np.asarray(carry2.out_status)
+    assert (st2 == 2).sum() == 0
+    assert (st2 == 1).all()
