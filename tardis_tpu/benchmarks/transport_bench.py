@@ -114,8 +114,9 @@ def bench_transport(
         carry = run_transport(
             tables, static, pool_mu, pool_nu, run_key,
             n_packets=n_packets, batch_size=batch,
+            tail_batch=min(2048, batch // 4) if batch >= 8192 else 0,
         )
-        carry.n_steps.block_until_ready()
+        jax.block_until_ready(carry)
         times.append(time.time() - t0)
 
     best = min(times)

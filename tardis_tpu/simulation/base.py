@@ -324,6 +324,7 @@ class Simulation:
             iteration=iteration,
             n_vpackets=n_vp,
             spectrum_nu_edges=self.spectrum_nu_edges,
+            vpacket_spawn_nu_range=self._vpacket_spawn_nu_range(),
         )
         self.last_transport_result = result
         self.iterations_executed += 1
@@ -348,6 +349,21 @@ class Simulation:
         for cb in self._callbacks:
             cb(self)
         return self
+
+    def _vpacket_spawn_nu_range(self):
+        """Config virtual_spectrum_spawn_range (wavelengths, reference
+        schema montecarlo.yml) -> (nu_min, nu_max) in Hz."""
+        from tardis_tpu.constants import C as _C
+
+        rng = self.config.montecarlo.get("virtual_spectrum_spawn_range", {})
+        start = float(rng.get("start", 0.0))
+        end = float(rng.get("end", float("inf")))
+        if start <= 0.0 and not np.isfinite(end):
+            return (0.0, float("inf"))
+        # values parsed from 'X angstrom' are cm; treat as wavelengths
+        nu_hi = _C / start if start > 0 else float("inf")
+        nu_lo = _C / end if np.isfinite(end) and end > 0 else 0.0
+        return (nu_lo, nu_hi)
 
     def integrate_spectrum(self) -> Spectrum:
         """Formal-integral spectrum from the last iteration's estimators

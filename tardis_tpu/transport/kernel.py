@@ -678,25 +678,78 @@ def transport_loop(
     batch_size: int,
     max_steps: int = 1 << 30,
     pid_offset=0,
+    carry0: TransportCarry | None = None,
+    tail_threshold: int = 0,
 ):
-    """The transport while-loop (traceable; used directly under shard_map)."""
+    """The transport while-loop (traceable; used directly under shard_map).
+
+    With ``tail_threshold`` > 0 the loop ALSO exits once the pool is
+    exhausted and at most that many lanes remain alive — the host then
+    repacks the survivors into a narrower batch (see run_transport_tail);
+    per-packet counter RNG makes the result bitwise identical either way.
+    """
     step = make_transport_step(
         tables, static, pool_mu, pool_nu_cmf, n_packets, base_key, pid_offset
     )
-    carry0 = init_carry(static, batch_size, n_packets)
+    if carry0 is None:
+        carry0 = init_carry(static, batch_size, n_packets)
 
     def cond(c: TransportCarry):
-        return ((c.next_unborn < n_packets) | jnp.any(c.alive)) & (
-            c.n_steps < max_steps
-        )
+        running = (c.next_unborn < n_packets) | jnp.any(c.alive)
+        if tail_threshold > 0:
+            not_tail = (c.next_unborn < n_packets) | (
+                jnp.sum(c.alive.astype(I32)) > tail_threshold
+            )
+            running = running & not_tail
+        return running & (c.n_steps < max_steps)
 
     return lax.while_loop(cond, step, carry0)
 
 
 @partial(
     jax.jit,
-    static_argnames=("static", "n_packets", "batch_size", "max_steps"),
+    static_argnames=("static", "n_packets", "batch_size", "max_steps",
+                     "tail_threshold"),
 )
+def run_transport_main(
+    tables: TransportTables,
+    static: TransportStaticConfig,
+    pool_mu,
+    pool_nu_cmf,
+    base_key,
+    n_packets: int,
+    batch_size: int,
+    max_steps: int = 1 << 30,
+    tail_threshold: int = 0,
+):
+    return transport_loop(
+        tables, static, pool_mu, pool_nu_cmf, base_key,
+        n_packets, batch_size, max_steps, tail_threshold=tail_threshold,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("static", "n_packets", "tail_batch", "max_steps"),
+    donate_argnames=("carry0",),
+)
+def run_transport_tailphase(
+    tables: TransportTables,
+    static: TransportStaticConfig,
+    pool_mu,
+    pool_nu_cmf,
+    base_key,
+    carry0: TransportCarry,
+    n_packets: int,
+    tail_batch: int,
+    max_steps: int = 1 << 30,
+):
+    return transport_loop(
+        tables, static, pool_mu, pool_nu_cmf, base_key,
+        n_packets, tail_batch, max_steps, carry0=carry0,
+    )
+
+
 def run_transport(
     tables: TransportTables,
     static: TransportStaticConfig,
@@ -706,9 +759,209 @@ def run_transport(
     n_packets: int,
     batch_size: int,
     max_steps: int = 1 << 30,
+    tail_batch: int = 0,
+    chunk_size: int = 524288,
 ):
-    """Run transport for all n_packets on one device; returns final carry."""
+    """Run transport for all n_packets on one device; returns final carry.
+
+    ``tail_batch`` > 0 enables the two-phase tail optimization: the wide
+    main loop exits once <= tail_batch lanes remain (pool exhausted), the
+    survivors are repacked host-side into a (tail_batch,)-lane loop, and the
+    per-packet counter RNG guarantees bitwise-identical results.  This
+    bounds the cost of rare packets that resonant-scatter through very long
+    line cascades (one lockstep event per step) — the analogue of the
+    reference's cheap per-thread tail, which a wide lockstep batch lacks.
+
+    Pools larger than ``chunk_size`` are processed in host-side chunks with
+    global packet-id RNG offsets (bitwise identical to a single pass);
+    this both bounds device memory at extreme N and works around a TPU
+    runtime fault observed with ~1e6-packet kernels on this stack.
+    """
+    if n_packets > chunk_size > 0:
+        return _run_transport_chunked(
+            tables, static, pool_mu, pool_nu_cmf, base_key,
+            n_packets, batch_size, max_steps, tail_batch, chunk_size,
+        )
+    if tail_batch <= 0 or tail_batch >= batch_size:
+        return run_transport_main(
+            tables, static, pool_mu, pool_nu_cmf, base_key,
+            n_packets=n_packets, batch_size=batch_size, max_steps=max_steps,
+        )
+    import numpy as np
+
+    carry = run_transport_main(
+        tables, static, pool_mu, pool_nu_cmf, base_key,
+        n_packets=n_packets, batch_size=batch_size, max_steps=max_steps,
+        tail_threshold=tail_batch,
+    )
+    alive = np.asarray(carry.alive)
+    n_alive = int(alive.sum())
+    if n_alive == 0:
+        return carry
+    idx = np.nonzero(alive)[0]
+    pad = np.zeros(tail_batch - n_alive, dtype=idx.dtype)
+    sel = jnp.asarray(np.concatenate([idx, pad]), I32)
+    mask = jnp.asarray(
+        np.arange(tail_batch) < n_alive
+    )
+
+    def take(x):
+        return x[sel]
+
+    tail0 = carry._replace(
+        r=take(carry.r),
+        mu=take(carry.mu),
+        nu=take(carry.nu),
+        energy=take(carry.energy),
+        shell=take(carry.shell),
+        next_line=take(carry.next_line),
+        pkt_id=take(carry.pkt_id),
+        event_idx=take(carry.event_idx),
+        alive=take(carry.alive) & mask,
+    )
+    return run_transport_tailphase(
+        tables, static, pool_mu, pool_nu_cmf, base_key, tail0,
+        n_packets=n_packets, tail_batch=tail_batch, max_steps=max_steps,
+    )
+
+
+def _run_transport_chunked(
+    tables, static, pool_mu, pool_nu_cmf, base_key,
+    n_packets, batch_size, max_steps, tail_batch, chunk_size,
+):
+    import numpy as np
+
+    carries = []
+    for start in range(0, n_packets, chunk_size):
+        n_local = min(chunk_size, n_packets - start)
+        c = transport_chunk(
+            tables, static,
+            pool_mu[start : start + n_local],
+            pool_nu_cmf[start : start + n_local],
+            base_key,
+            n_packets=n_local,
+            batch_size=min(batch_size, n_local),
+            max_steps=max_steps,
+            tail_batch=tail_batch if n_local >= 4 * tail_batch else 0,
+            pid_offset=start,
+        )
+        carries.append(c)
+    first = carries[0]
+
+    def cat(field):
+        return jnp.concatenate([getattr(c, field) for c in carries])
+
+    def tot(field):
+        out = getattr(first, field)
+        for c in carries[1:]:
+            out = out + getattr(c, field)
+        return out
+
+    merged = first._replace(
+        out_nu=cat("out_nu"),
+        out_energy=cat("out_energy"),
+        out_status=cat("out_status"),
+        est_j=tot("est_j"),
+        est_nubar=tot("est_nubar"),
+        jblue_diff=tot("jblue_diff"),
+        edot_diff=tot("edot_diff"),
+        n_steps=tot("n_steps"),
+        n_events=tot("n_events"),
+        vp_count=tot("vp_count"),
+    )
+    if static.vpacket_capacity > 0:
+        merged = merged._replace(
+            vp_r=cat("vp_r"), vp_mu=cat("vp_mu"), vp_nu=cat("vp_nu"),
+            vp_energy=cat("vp_energy"), vp_shell=cat("vp_shell"),
+            vp_next_line=cat("vp_next_line"),
+        )
+    if static.track_last_interaction:
+        merged = merged._replace(
+            li_type=cat("li_type"), li_in_line=cat("li_in_line"),
+            li_out_line=cat("li_out_line"), li_shell=cat("li_shell"),
+            li_in_nu=cat("li_in_nu"), li_r=cat("li_r"),
+        )
+    if static.track_rpacket_length > 0:
+        merged = merged._replace(
+            tr_r=cat("tr_r"), tr_nu=cat("tr_nu"),
+            tr_energy=cat("tr_energy"), tr_shell=cat("tr_shell"),
+            tr_type=cat("tr_type"),
+        )
+    return merged
+
+
+def transport_chunk(
+    tables, static, pool_mu, pool_nu_cmf, base_key,
+    n_packets, batch_size, max_steps, tail_batch, pid_offset,
+):
+    """One chunk with a global pid offset (RNG-compatible with unchunked)."""
+    if tail_batch <= 0 or tail_batch >= batch_size:
+        return _run_chunk_jit(
+            tables, static, pool_mu, pool_nu_cmf, base_key,
+            jnp.asarray(pid_offset, I32),
+            n_packets=n_packets, batch_size=batch_size, max_steps=max_steps,
+            tail_threshold=0,
+        )
+    import numpy as np
+
+    carry = _run_chunk_jit(
+        tables, static, pool_mu, pool_nu_cmf, base_key,
+        jnp.asarray(pid_offset, I32),
+        n_packets=n_packets, batch_size=batch_size, max_steps=max_steps,
+        tail_threshold=tail_batch,
+    )
+    alive = np.asarray(carry.alive)
+    n_alive = int(alive.sum())
+    if n_alive == 0:
+        return carry
+    idx = np.nonzero(alive)[0]
+    pad = np.zeros(tail_batch - n_alive, dtype=idx.dtype)
+    sel = jnp.asarray(np.concatenate([idx, pad]), I32)
+    mask = jnp.asarray(np.arange(tail_batch) < n_alive)
+
+    def take(x):
+        return x[sel]
+
+    tail0 = carry._replace(
+        r=take(carry.r), mu=take(carry.mu), nu=take(carry.nu),
+        energy=take(carry.energy), shell=take(carry.shell),
+        next_line=take(carry.next_line), pkt_id=take(carry.pkt_id),
+        event_idx=take(carry.event_idx), alive=take(carry.alive) & mask,
+    )
+    return _run_tail_jit(
+        tables, static, pool_mu, pool_nu_cmf, base_key, tail0,
+        jnp.asarray(pid_offset, I32),
+        n_packets=n_packets, tail_batch=tail_batch, max_steps=max_steps,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("static", "n_packets", "batch_size", "max_steps",
+                     "tail_threshold"),
+)
+def _run_chunk_jit(
+    tables, static, pool_mu, pool_nu_cmf, base_key, pid_offset,
+    n_packets, batch_size, max_steps, tail_threshold,
+):
     return transport_loop(
         tables, static, pool_mu, pool_nu_cmf, base_key,
-        n_packets, batch_size, max_steps,
+        n_packets, batch_size, max_steps, pid_offset=pid_offset,
+        tail_threshold=tail_threshold,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("static", "n_packets", "tail_batch", "max_steps"),
+    donate_argnames=("carry0",),
+)
+def _run_tail_jit(
+    tables, static, pool_mu, pool_nu_cmf, base_key, carry0, pid_offset,
+    n_packets, tail_batch, max_steps,
+):
+    return transport_loop(
+        tables, static, pool_mu, pool_nu_cmf, base_key,
+        n_packets, tail_batch, max_steps, pid_offset=pid_offset,
+        carry0=carry0,
     )

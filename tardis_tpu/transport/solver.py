@@ -114,6 +114,7 @@ class TransportSolver:
         iteration: int,
         n_vpackets: int = 0,
         spectrum_nu_edges: np.ndarray | None = None,
+        vpacket_spawn_nu_range: tuple | None = None,
     ) -> TransportResult:
         geometry = sim_state.geometry
         ct = C * geometry.time_explosion
@@ -176,6 +177,7 @@ class TransportSolver:
             run_key,
             n_packets=n_packets,
             batch_size=batch,
+            tail_batch=min(2048, batch // 4) if batch >= 8192 else 0,
         )
 
         virt_hist = None
@@ -187,6 +189,9 @@ class TransportSolver:
             virt_edges = np.asarray(spectrum_nu_edges, dtype=np.float64)
             edges_scaled = jnp.asarray(virt_edges / NU_UNIT, jnp.float32)
             n_bins = len(virt_edges) - 1
+            spawn_lo, spawn_hi = 0.0, np.inf
+            if vpacket_spawn_nu_range is not None:
+                spawn_lo, spawn_hi = vpacket_spawn_nu_range
             hist = trace_vpacket_records(
                 tables,
                 static,
@@ -199,6 +204,12 @@ class TransportSolver:
                 n_vpackets=n_vpackets,
                 nu_bin_edges=edges_scaled,
                 n_bins=n_bins,
+                spawn_nu_min=float(spawn_lo) / NU_UNIT,
+                spawn_nu_max=(
+                    float(spawn_hi) / NU_UNIT
+                    if np.isfinite(spawn_hi)
+                    else np.inf
+                ),
             )
             virt_hist = np.asarray(hist, dtype=np.float64)
 

@@ -256,3 +256,55 @@ def test_full_tracker_and_reflective_boundary(setup):
     st2 = np.asarray(carry2.out_status)
     assert (st2 == 2).sum() == 0
     assert (st2 == 1).all()
+
+
+def test_tail_phase_bitwise_identical(setup):
+    """Two-phase tail optimization must not change any output bit."""
+    cfg, state, atom, ps, tables, static = setup
+    N = 600
+    key = jax.random.key(np.uint32(41))
+    pool_mu, pool_nu = sample_blackbody_packets(
+        jax.random.fold_in(key, 0), N, state.t_inner
+    )
+    rk = jax.random.fold_in(key, 1)
+    c_plain = run_transport(tables, static, pool_mu, pool_nu, rk,
+                            n_packets=N, batch_size=256)
+    c_tail = run_transport(tables, static, pool_mu, pool_nu, rk,
+                           n_packets=N, batch_size=256, tail_batch=32)
+    np.testing.assert_array_equal(
+        np.asarray(c_plain.out_status), np.asarray(c_tail.out_status)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(c_plain.out_nu), np.asarray(c_tail.out_nu)
+    )
+    np.testing.assert_allclose(
+        np.asarray(c_plain.est_j), np.asarray(c_tail.est_j), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(c_plain.jblue_diff), np.asarray(c_tail.jblue_diff),
+        rtol=1e-5, atol=1e-7,
+    )
+
+
+def test_chunked_pool_bitwise_identical(setup):
+    """Host-side pool chunking must not change any output bit."""
+    cfg, state, atom, ps, tables, static = setup
+    N = 700
+    key = jax.random.key(np.uint32(43))
+    pool_mu, pool_nu = sample_blackbody_packets(
+        jax.random.fold_in(key, 0), N, state.t_inner
+    )
+    rk = jax.random.fold_in(key, 1)
+    c_plain = run_transport(tables, static, pool_mu, pool_nu, rk,
+                            n_packets=N, batch_size=128, chunk_size=0)
+    c_chunk = run_transport(tables, static, pool_mu, pool_nu, rk,
+                            n_packets=N, batch_size=128, chunk_size=256)
+    np.testing.assert_array_equal(
+        np.asarray(c_plain.out_status), np.asarray(c_chunk.out_status)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(c_plain.out_nu), np.asarray(c_chunk.out_nu)
+    )
+    np.testing.assert_allclose(
+        np.asarray(c_plain.est_j), np.asarray(c_chunk.est_j), rtol=1e-5
+    )
