@@ -95,16 +95,14 @@ def run_transport_sharded(
         # estimator all-reduce over ICI (analogue of per-thread increment())
         est_j = lax.psum(carry.est_j, "packets")
         est_nubar = lax.psum(carry.est_nubar, "packets")
-        jblue = lax.psum(carry.jblue_diff, "packets")
-        edot = lax.psum(carry.edot_diff, "packets")
+        line_diff = lax.psum(carry.line_diff, "packets")
         n_steps = lax.pmax(carry.n_steps, "packets")
         n_events = lax.psum(carry.n_events, "packets")
         vp_count = lax.psum(carry.vp_count, "packets")
         return carry._replace(
             est_j=est_j,
             est_nubar=est_nubar,
-            jblue_diff=jblue,
-            edot_diff=edot,
+            line_diff=line_diff,
             vp_count=vp_count,
             n_steps=n_steps,
             n_events=n_events,
@@ -124,29 +122,12 @@ def run_transport_sharded(
         next_unborn=P(),
         est_j=P(),
         est_nubar=P(),
-        jblue_diff=P(),
-        edot_diff=P(),
-        out_nu=P("packets"),
-        out_energy=P("packets"),
-        out_status=P("packets"),
-        vp_r=P("packets"),
-        vp_mu=P("packets"),
-        vp_nu=P("packets"),
-        vp_energy=P("packets"),
-        vp_shell=P("packets"),
-        vp_next_line=P("packets"),
+        line_diff=P(),
+        out_packed=P("packets"),
+        vp_packed=P("packets"),
         vp_count=P(),
-        tr_r=P("packets"),
-        tr_nu=P("packets"),
-        tr_energy=P("packets"),
-        tr_shell=P("packets"),
-        tr_type=P("packets"),
-        li_type=P("packets"),
-        li_in_line=P("packets"),
-        li_out_line=P("packets"),
-        li_shell=P("packets"),
-        li_in_nu=P("packets"),
-        li_r=P("packets"),
+        tr_packed=P("packets"),
+        li_packed=P("packets"),
         n_steps=P(),
         n_events=P(),
     )

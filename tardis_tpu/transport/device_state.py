@@ -60,6 +60,9 @@ class TransportTables(NamedTuple):
     macro_emit: jnp.ndarray  # (T,) bool (transition_type < 0)
     macro_line: jnp.ndarray  # (T,) i32
     line2macro: jnp.ndarray  # (L,) i32
+    # tiled-search structures (transport/tiled_search.py)
+    neg_nu_tiled: object  # TiledTable over ascending -line_nu
+    pred_tables: object  # PredicateTables over per-shell tau prefix sums
 
 
 class TransportStaticConfig(NamedTuple):
@@ -122,8 +125,14 @@ def build_transport_tables(
     # per-shell prefix sums with leading zero -> (S, L+1); fused native
     # pipeline when built (tardis_tpu/native), numpy fallback otherwise
     from tardis_tpu import native
+    from tardis_tpu.transport.tiled_search import (
+        build_predicate_tables,
+        build_tiled_table,
+    )
 
     hi, lo = native.prefix_split(tau)
+    cum_f64 = np.zeros((S, L + 1), dtype=np.float64)
+    np.cumsum(tau.T, axis=1, out=cum_f64[:, 1:])
 
     sigma = 1e-200 if disable_electron_scattering else SIGMA_THOMSON
     chi_e = (sigma * plasma_state.electron_densities * ct).astype(np.float32)
@@ -161,6 +170,8 @@ def build_transport_tables(
         macro_emit=jnp.asarray(emit),
         macro_line=jnp.asarray(mline, jnp.int32),
         line2macro=jnp.asarray(line2macro, jnp.int32),
+        neg_nu_tiled=build_tiled_table(-line_nu_scaled),
+        pred_tables=build_predicate_tables(cum_f64, line_nu_scaled),
     )
     import jax
 

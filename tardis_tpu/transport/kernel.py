@@ -40,6 +40,10 @@ from tardis_tpu.transport.device_state import (
     TransportStaticConfig,
     TransportTables,
 )
+from tardis_tpu.transport.tiled_search import (
+    predicate_search,
+    tiled_searchsorted,
+)
 from tardis_tpu.utils.search import searchsorted_unrolled
 from tardis_tpu.utils.twofloat import df32_diff
 
@@ -69,39 +73,44 @@ class TransportCarry(NamedTuple):
     alive: jnp.ndarray  # bool
     # pool pointer
     next_unborn: jnp.ndarray  # i32 scalar
-    # estimators
+    # estimators: line_diff[:, 0] = j_blue diff, [:, 1] = e_dot diff
     est_j: jnp.ndarray  # (S,)
     est_nubar: jnp.ndarray  # (S,)
-    jblue_diff: jnp.ndarray  # ((L+1)*S,)
-    edot_diff: jnp.ndarray  # ((L+1)*S,)
-    # outputs (N,)
-    out_nu: jnp.ndarray
-    out_energy: jnp.ndarray
-    out_status: jnp.ndarray  # i8
-    # vpacket spawn records (capacity R; size-1 dummies when disabled)
-    vp_r: jnp.ndarray
-    vp_mu: jnp.ndarray
-    vp_nu: jnp.ndarray
-    vp_energy: jnp.ndarray
-    vp_shell: jnp.ndarray  # i32
-    vp_next_line: jnp.ndarray  # i32
+    line_diff: jnp.ndarray  # ((L+1)*S, 2) f32 (single packed scatter target)
+    # outputs: packed rows [nu, energy, status] (scatters are overhead-bound
+    # on this stack, so row-packing several writes into one scatter wins)
+    out_packed: jnp.ndarray  # (N, 4) f32: nu, energy, status, unused
+    # vpacket spawn records (capacity R; (1,6) dummy when disabled)
+    vp_packed: jnp.ndarray  # (R, 6) f32: r, mu, nu, energy, shell, next_line
     vp_count: jnp.ndarray  # i32 scalar (attempted; clamp to capacity on use)
-    # full tracker: (N*K,) flattened event logs (size-1 when disabled)
-    tr_r: jnp.ndarray  # f32
-    tr_nu: jnp.ndarray  # f32
-    tr_energy: jnp.ndarray  # f32
-    tr_shell: jnp.ndarray  # i8
-    tr_type: jnp.ndarray  # i8 (0 none, 1 escat, 2 line, 3 boundary)
-    # last-interaction tracking (N,) (size-1 dummies when disabled)
-    li_type: jnp.ndarray  # i8: 0 none, 1 e-scatter, 2 line
-    li_in_line: jnp.ndarray  # i32 absorbed line id (-1 if none)
-    li_out_line: jnp.ndarray  # i32 emitted line id (-1 if none)
-    li_shell: jnp.ndarray  # i32
-    li_in_nu: jnp.ndarray  # f32 lab nu before interaction (scaled)
-    li_r: jnp.ndarray  # f32 radius at interaction (scaled)
+    # full tracker: (N*K, 6) packed event log ((1,6) when disabled)
+    tr_packed: jnp.ndarray  # r, nu, energy, shell, type, unused
+    # last-interaction tracking ((N,6) packed; (1,6) when disabled)
+    li_packed: jnp.ndarray  # type, in_line, out_line, shell, in_nu, r
     # diagnostics
     n_steps: jnp.ndarray  # i32 scalar
     n_events: jnp.ndarray  # i64-ish f32 accumulator
+
+    # ---- unpacking views (compatibility accessors) ----
+    @property
+    def out_nu(self):
+        return self.out_packed[:, 0]
+
+    @property
+    def out_energy(self):
+        return self.out_packed[:, 1]
+
+    @property
+    def out_status(self):
+        return self.out_packed[:, 2].astype(jnp.int8)
+
+    @property
+    def jblue_diff(self):
+        return self.line_diff[:, 0]
+
+    @property
+    def edot_diff(self):
+        return self.line_diff[:, 1]
 
 
 def _uniform_from_key(keys, tag):
@@ -218,8 +227,8 @@ def make_transport_step(
 
     def count_gt(nu_thresh):
         """Number of lines with nu_i > nu_thresh (descending list)."""
-        return searchsorted_unrolled(
-            tables.neg_line_nu, -nu_thresh, side="left"
+        return tiled_searchsorted(
+            tables.neg_nu_tiled, -nu_thresh, side="left"
         )
 
     def step(carry: TransportCarry) -> TransportCarry:
@@ -251,8 +260,8 @@ def make_transport_step(
         shell = jnp.where(can_fill, 0, carry.shell)
         # birth line id: count of lines with nu_line >= nu_cmf
         # (reference packets/radiative_packet.py:96-110)
-        birth_line = searchsorted_unrolled(
-            tables.neg_line_nu, -b_nu_cmf, side="right"
+        birth_line = tiled_searchsorted(
+            tables.neg_nu_tiled, -b_nu_cmf, side="right"
         )
         next_line = jnp.where(can_fill, birth_line, carry.next_line)
         pkt_id = jnp.where(can_fill, new_ids, carry.pkt_id)
@@ -269,19 +278,21 @@ def make_transport_step(
                 vp_idx,
                 static.vpacket_capacity + 1,
             )
-            vp_r = carry.vp_r.at[widx].set(beta_inner, mode="drop")
-            vp_mu = carry.vp_mu.at[widx].set(b_mu, mode="drop")
-            vp_nu = carry.vp_nu.at[widx].set(b_nu, mode="drop")
-            vp_energy = carry.vp_energy.at[widx].set(b_energy, mode="drop")
-            vp_shell = carry.vp_shell.at[widx].set(0, mode="drop")
-            vp_next_line = carry.vp_next_line.at[widx].set(
-                birth_line, mode="drop"
+            rows = jnp.stack(
+                [
+                    jnp.full_like(b_mu, beta_inner),
+                    b_mu,
+                    b_nu,
+                    b_energy,
+                    jnp.zeros_like(b_mu),
+                    birth_line.astype(F32),
+                ],
+                axis=1,
             )
+            vp_packed = carry.vp_packed.at[widx].set(rows, mode="drop")
             vp_count = carry.vp_count + jnp.sum(can_fill.astype(I32))
         else:
-            vp_r, vp_mu, vp_nu = carry.vp_r, carry.vp_mu, carry.vp_nu
-            vp_energy, vp_shell = carry.vp_energy, carry.vp_shell
-            vp_next_line, vp_count = carry.vp_next_line, carry.vp_count
+            vp_packed, vp_count = carry.vp_packed, carry.vp_count
 
         # ------------------------------------------------ 2. RNG keys
         def mk_key(pid, eidx):
@@ -361,11 +372,23 @@ def make_transport_step(
                 c0_lo,
             )
 
-        def g_pred(i):
-            return dC(i + 1) + chi * s_of(i) > tau_event
-
-        i_event = _bsearch_first_true(
-            g_pred, next_line, i_bound, static.line_search_bits
+        if static.enable_full_relativity:
+            p2_fr = jnp.maximum(r * r * (1.0 - mu * mu), 0.0)
+        else:
+            p2_fr = None
+        i_event = predicate_search(
+            tables.pred_tables,
+            shell_c,
+            next_line,
+            i_bound,
+            c0_hi,
+            c0_lo,
+            chi,
+            z,
+            nu,
+            tau_event,
+            full_relativity=static.enable_full_relativity,
+            p2=p2_fr,
         )
         found = i_event < i_bound
 
@@ -420,10 +443,10 @@ def make_transport_step(
             w2 = live_f * energy / nu  # e_dot weight
         idx_a = next_line * S + shell_c
         idx_b = end_line * S + shell_c
-        jblue_diff = (
-            carry.jblue_diff.at[idx_a].add(w1).at[idx_b].add(-w1)
-        )
-        edot_diff = carry.edot_diff.at[idx_a].add(w2).at[idx_b].add(-w2)
+        idx_cat = jnp.concatenate([idx_a, idx_b])
+        w12 = jnp.stack([w1, w2], axis=1)  # (B, 2)
+        vals_cat = jnp.concatenate([w12, -w12])  # (2B, 2)
+        line_diff = carry.line_diff.at[idx_cat].add(vals_cat)
 
         # ------------------------------------------------ 5. move
         r_new = jnp.sqrt(
@@ -507,42 +530,33 @@ def make_transport_step(
                 slot_ok, pkt_id * K + jnp.minimum(event_idx, K - 1),
                 n_packets * K + 1,
             )
-            ev_code = jnp.where(
-                is_line, 2, jnp.where(is_escat, 1, 3)
-            ).astype(jnp.int8)
-            tr_r = carry.tr_r.at[widx_t].set(r, mode="drop")
-            tr_nu = carry.tr_nu.at[widx_t].set(nu, mode="drop")
-            tr_energy = carry.tr_energy.at[widx_t].set(energy, mode="drop")
-            tr_shell = carry.tr_shell.at[widx_t].set(
-                shell.astype(jnp.int8), mode="drop"
+            ev_code = jnp.where(is_line, 2.0, jnp.where(is_escat, 1.0, 3.0))
+            rows_t = jnp.stack(
+                [r, nu, energy, shell.astype(F32), ev_code,
+                 jnp.zeros_like(r)],
+                axis=1,
             )
-            tr_type = carry.tr_type.at[widx_t].set(ev_code, mode="drop")
+            tr_packed = carry.tr_packed.at[widx_t].set(rows_t, mode="drop")
         else:
-            tr_r, tr_nu = carry.tr_r, carry.tr_nu
-            tr_energy, tr_shell = carry.tr_energy, carry.tr_shell
-            tr_type = carry.tr_type
+            tr_packed = carry.tr_packed
 
         # last-interaction tracking (one scatter-set per field at pkt_id)
         if static.track_last_interaction:
             tr_idx = jnp.where(interacts, pkt_id, n_packets + 1)
-            li_type = carry.li_type.at[tr_idx].set(
-                jnp.where(is_line, 2, 1).astype(jnp.int8), mode="drop"
+            rows_li = jnp.stack(
+                [
+                    jnp.where(is_line, 2.0, 1.0),
+                    jnp.where(is_line, i_event, -1).astype(F32),
+                    jnp.where(is_line, em_line, -1).astype(F32),
+                    shell_c.astype(F32),
+                    nu_pre_interaction,
+                    r,
+                ],
+                axis=1,
             )
-            li_in_line = carry.li_in_line.at[tr_idx].set(
-                jnp.where(is_line, i_event, -1), mode="drop"
-            )
-            li_out_line = carry.li_out_line.at[tr_idx].set(
-                jnp.where(is_line, em_line, -1), mode="drop"
-            )
-            li_shell = carry.li_shell.at[tr_idx].set(shell_c, mode="drop")
-            li_in_nu = carry.li_in_nu.at[tr_idx].set(
-                nu_pre_interaction, mode="drop"
-            )
-            li_r = carry.li_r.at[tr_idx].set(r, mode="drop")
+            li_packed = carry.li_packed.at[tr_idx].set(rows_li, mode="drop")
         else:
-            li_type, li_in_line = carry.li_type, carry.li_in_line
-            li_out_line, li_shell = carry.li_out_line, carry.li_shell
-            li_in_nu, li_r = carry.li_in_nu, carry.li_r
+            li_packed = carry.li_packed
 
         # interaction vpacket spawn records (reference
         # packet_propagation.py:186-227: volley after line/e-scatter events)
@@ -553,23 +567,22 @@ def make_transport_step(
                 vp_idx2,
                 static.vpacket_capacity + 1,
             )
-            vp_r = vp_r.at[widx2].set(r, mode="drop")
-            vp_mu = vp_mu.at[widx2].set(mu, mode="drop")
-            vp_nu = vp_nu.at[widx2].set(nu, mode="drop")
-            vp_energy = vp_energy.at[widx2].set(energy, mode="drop")
-            vp_shell = vp_shell.at[widx2].set(shell, mode="drop")
-            vp_next_line = vp_next_line.at[widx2].set(next_line, mode="drop")
+            rows2 = jnp.stack(
+                [r, mu, nu, energy, shell.astype(F32),
+                 next_line.astype(F32)],
+                axis=1,
+            )
+            vp_packed = vp_packed.at[widx2].set(rows2, mode="drop")
             vp_count = vp_count + jnp.sum(interacts.astype(I32))
 
         # ------------------------------------------------ 7. deaths
         dying = emitted | reabsorbed
         out_idx = jnp.where(dying, pkt_id, n_packets)  # n_packets = dropped
-        out_nu = carry.out_nu.at[out_idx].set(nu, mode="drop")
-        out_energy = carry.out_energy.at[out_idx].set(energy, mode="drop")
-        status_val = jnp.where(
-            emitted, STATUS_EMITTED, STATUS_REABSORBED
-        ).astype(jnp.int8)
-        out_status = carry.out_status.at[out_idx].set(status_val, mode="drop")
+        status_val = jnp.where(emitted, 1.0, 2.0)
+        out_rows = jnp.stack(
+            [nu, energy, status_val, jnp.zeros_like(nu)], axis=1
+        )
+        out_packed = carry.out_packed.at[out_idx].set(out_rows, mode="drop")
         alive = alive & ~dying
         event_idx = event_idx + 1
 
@@ -586,29 +599,12 @@ def make_transport_step(
             next_unborn=next_unborn,
             est_j=est_j,
             est_nubar=est_nubar,
-            jblue_diff=jblue_diff,
-            edot_diff=edot_diff,
-            out_nu=out_nu,
-            out_energy=out_energy,
-            out_status=out_status,
-            vp_r=vp_r,
-            vp_mu=vp_mu,
-            vp_nu=vp_nu,
-            vp_energy=vp_energy,
-            vp_shell=vp_shell,
-            vp_next_line=vp_next_line,
+            line_diff=line_diff,
+            out_packed=out_packed,
+            vp_packed=vp_packed,
             vp_count=vp_count,
-            tr_r=tr_r,
-            tr_nu=tr_nu,
-            tr_energy=tr_energy,
-            tr_shell=tr_shell,
-            tr_type=tr_type,
-            li_type=li_type,
-            li_in_line=li_in_line,
-            li_out_line=li_out_line,
-            li_shell=li_shell,
-            li_in_nu=li_in_nu,
-            li_r=li_r,
+            tr_packed=tr_packed,
+            li_packed=li_packed,
             n_steps=carry.n_steps + 1,
             n_events=carry.n_events + jnp.sum(alive.astype(F32)),
         )
@@ -640,29 +636,12 @@ def init_carry(static: TransportStaticConfig, batch_size: int, n_packets: int):
         next_unborn=jnp.zeros((), I32),
         est_j=z(S, F32),
         est_nubar=z(S, F32),
-        jblue_diff=z((L + 1) * S, F32),
-        edot_diff=z((L + 1) * S, F32),
-        out_nu=z(n_packets, F32),
-        out_energy=z(n_packets, F32),
-        out_status=z(n_packets, jnp.int8),
-        vp_r=z(R, F32),
-        vp_mu=z(R, F32),
-        vp_nu=z(R, F32),
-        vp_energy=z(R, F32),
-        vp_shell=z(R, I32),
-        vp_next_line=z(R, I32),
+        line_diff=z(((L + 1) * S, 2), F32),
+        out_packed=z((n_packets, 4), F32),
+        vp_packed=z((R, 6), F32),
         vp_count=jnp.zeros((), I32),
-        tr_r=z(TRK, F32),
-        tr_nu=z(TRK, F32),
-        tr_energy=z(TRK, F32),
-        tr_shell=z(TRK, jnp.int8),
-        tr_type=z(TRK, jnp.int8),
-        li_type=z(T, jnp.int8),
-        li_in_line=jnp.full(T, -1, I32),
-        li_out_line=jnp.full(T, -1, I32),
-        li_shell=z(T, I32),
-        li_in_nu=z(T, F32),
-        li_r=z(T, F32),
+        tr_packed=z((TRK, 6), F32),
+        li_packed=z((T, 6), F32),
         n_steps=jnp.zeros((), I32),
         n_events=jnp.zeros((), F32),
     )
@@ -858,35 +837,20 @@ def _run_transport_chunked(
         return out
 
     merged = first._replace(
-        out_nu=cat("out_nu"),
-        out_energy=cat("out_energy"),
-        out_status=cat("out_status"),
+        out_packed=cat("out_packed"),
         est_j=tot("est_j"),
         est_nubar=tot("est_nubar"),
-        jblue_diff=tot("jblue_diff"),
-        edot_diff=tot("edot_diff"),
+        line_diff=tot("line_diff"),
         n_steps=tot("n_steps"),
         n_events=tot("n_events"),
         vp_count=tot("vp_count"),
     )
     if static.vpacket_capacity > 0:
-        merged = merged._replace(
-            vp_r=cat("vp_r"), vp_mu=cat("vp_mu"), vp_nu=cat("vp_nu"),
-            vp_energy=cat("vp_energy"), vp_shell=cat("vp_shell"),
-            vp_next_line=cat("vp_next_line"),
-        )
+        merged = merged._replace(vp_packed=cat("vp_packed"))
     if static.track_last_interaction:
-        merged = merged._replace(
-            li_type=cat("li_type"), li_in_line=cat("li_in_line"),
-            li_out_line=cat("li_out_line"), li_shell=cat("li_shell"),
-            li_in_nu=cat("li_in_nu"), li_r=cat("li_r"),
-        )
+        merged = merged._replace(li_packed=cat("li_packed"))
     if static.track_rpacket_length > 0:
-        merged = merged._replace(
-            tr_r=cat("tr_r"), tr_nu=cat("tr_nu"),
-            tr_energy=cat("tr_energy"), tr_shell=cat("tr_shell"),
-            tr_type=cat("tr_type"),
-        )
+        merged = merged._replace(tr_packed=cat("tr_packed"))
     return merged
 
 

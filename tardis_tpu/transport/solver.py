@@ -195,12 +195,12 @@ class TransportSolver:
             hist = trace_vpacket_records(
                 tables,
                 static,
-                carry.vp_r,
-                carry.vp_mu,
-                carry.vp_nu,
-                carry.vp_energy,
-                carry.vp_shell,
-                carry.vp_next_line,
+                carry.vp_packed[:, 0],
+                carry.vp_packed[:, 1],
+                carry.vp_packed[:, 2],
+                carry.vp_packed[:, 3],
+                carry.vp_packed[:, 4].astype(jnp.int32),
+                carry.vp_packed[:, 5].astype(jnp.int32),
                 n_vpackets=n_vpackets,
                 nu_bin_edges=edges_scaled,
                 n_bins=n_bins,
@@ -239,14 +239,9 @@ class TransportSolver:
 
         # difference-array -> per-line estimators
         nu_scaled = atom_data.line_nu / NU_UNIT
-        jb = np.cumsum(
-            np.asarray(carry.jblue_diff, dtype=np.float64).reshape(L + 1, S),
-            axis=0,
-        )[:L]
-        ed = np.cumsum(
-            np.asarray(carry.edot_diff, dtype=np.float64).reshape(L + 1, S),
-            axis=0,
-        )[:L]
+        line_diff = np.asarray(carry.line_diff, dtype=np.float64)
+        jb = np.cumsum(line_diff[:, 0].reshape(L + 1, S), axis=0)[:L]
+        ed = np.cumsum(line_diff[:, 1].reshape(L + 1, S), axis=0)[:L]
         if self.enable_full_relativity:
             # FR increments are line-independent (see kernel step 4)
             j_blue = jb * (e0 / NU_UNIT)
@@ -259,35 +254,34 @@ class TransportSolver:
         if self.track_rpacket_length > 0:
             K = self.track_rpacket_length
             N = n_packets
+            tr = np.asarray(carry.tr_packed, np.float64).reshape(N, K, 6)
             rpacket_tracker = {
-                "r": np.asarray(carry.tr_r, np.float64).reshape(N, K) * ct,
-                "nu": np.asarray(carry.tr_nu, np.float64).reshape(N, K)
-                * NU_UNIT,
-                "energy": np.asarray(carry.tr_energy, np.float64).reshape(
-                    N, K
-                ),
-                "shell": np.asarray(carry.tr_shell).reshape(N, K),
-                "type": np.asarray(carry.tr_type).reshape(N, K),
+                "r": tr[:, :, 0] * ct,
+                "nu": tr[:, :, 1] * NU_UNIT,
+                "energy": tr[:, :, 2],
+                "shell": tr[:, :, 3].astype(np.int32),
+                "type": tr[:, :, 4].astype(np.int8),
             }
 
         last_interaction = None
         if self.track_last_interaction:
+            li = np.asarray(carry.li_packed, np.float64)
             last_interaction = {
-                "type": np.asarray(carry.li_type),
-                "in_line": np.asarray(carry.li_in_line),
-                "out_line": np.asarray(carry.li_out_line),
-                "shell": np.asarray(carry.li_shell),
-                "in_nu": np.asarray(carry.li_in_nu, dtype=np.float64)
-                * NU_UNIT,
-                "r": np.asarray(carry.li_r, dtype=np.float64) * ct,
+                "type": li[:, 0].astype(np.int8),
+                "in_line": li[:, 1].astype(np.int32),
+                "out_line": li[:, 2].astype(np.int32),
+                "shell": li[:, 3].astype(np.int32),
+                "in_nu": li[:, 4] * NU_UNIT,
+                "r": li[:, 5] * ct,
             }
 
+        out = np.asarray(carry.out_packed, dtype=np.float64)
         return TransportResult(
             rpacket_tracker=rpacket_tracker,
             last_interaction=last_interaction,
-            output_nu=np.asarray(carry.out_nu, dtype=np.float64) * NU_UNIT,
-            output_energy=np.asarray(carry.out_energy, dtype=np.float64) * e0,
-            output_status=np.asarray(carry.out_status),
+            output_nu=out[:, 0] * NU_UNIT,
+            output_energy=out[:, 1] * e0,
+            output_status=out[:, 2].astype(np.int8),
             j_estimator=est_j,
             nu_bar_estimator=est_nubar,
             j_blue_estimator=j_blue,

@@ -243,8 +243,9 @@ def test_full_tracker_and_reflective_boundary(setup):
     )
     carry = _run(tables, st_track, pool_mu, pool_nu,
                  jax.random.fold_in(key, 1), N, 64)
-    tr_type = np.asarray(carry.tr_type).reshape(N, K)
-    tr_r = np.asarray(carry.tr_r).reshape(N, K)
+    tr = np.asarray(carry.tr_packed).reshape(N, K, 6)
+    tr_type = tr[:, :, 4]
+    tr_r = tr[:, :, 0]
     # every packet logged at least its first event
     assert (tr_type[:, 0] != 0).all()
     assert (tr_r[tr_type != 0] > 0).all()
