@@ -69,6 +69,8 @@ class MacroAtomData:
     block_references: np.ndarray  # int32 CSR offsets
     # per line (L,) -> macro level activated when the line absorbs
     line2macro_level_upper: np.ndarray
+    # per macro level (M,) -> flat level index (for continuum state mapping)
+    macro_flat_ids: np.ndarray | None = None
 
     @property
     def n_transitions(self) -> int:
@@ -77,6 +79,41 @@ class MacroAtomData:
     @property
     def n_macro_levels(self) -> int:
         return len(self.block_references) - 1
+
+
+@dataclass
+class PhotoIonizationData:
+    """Tabulated photoionization cross-sections (bound-free continua).
+
+    Counterpart of the reference's ``atomic_data.photoionization_data``
+    DataFrame (/root/reference/tardis/io/atom_data/base.py) reorganized as
+    flat CSR blocks.  Continua are sorted by threshold frequency DESCENDING —
+    the reference's ``level2continuum_idx`` ordering
+    (/root/reference/tardis/iip_plasma/properties/continuum.py:1448-1452) —
+    and each continuum's frequency grid is ascending within its block.
+    """
+
+    # per continuum (C,), threshold-nu descending order
+    cont_z: np.ndarray  # int
+    cont_ion: np.ndarray  # int (lower ion stage, e.g. 0 for H I)
+    cont_level: np.ndarray  # int level_number of the bound level
+    level_flat_idx: np.ndarray  # int32 flat index of the bound level
+    block_references: np.ndarray  # (C+1,) int32 offsets into point arrays
+    # per tabulation point (P,)
+    nu: np.ndarray  # Hz, ascending within each block
+    x_sect: np.ndarray  # cm^2
+
+    @property
+    def n_continua(self) -> int:
+        return len(self.cont_z)
+
+    @property
+    def nu_threshold(self) -> np.ndarray:
+        return self.nu[self.block_references[:-1]]
+
+    @property
+    def nu_max(self) -> np.ndarray:
+        return self.nu[self.block_references[1:] - 1]
 
 
 @dataclass
@@ -117,6 +154,10 @@ class AtomData:
     # optional raw source (e.g. pandas frames) kept for HDF round trip
     meta: dict = field(default_factory=dict)
 
+    # bound-free continua (None when the dataset carries no photoionization
+    # tables; required for continuum/IIP transport)
+    photo_ion: PhotoIonizationData | None = None
+
     # filled by prepare()
     species_z: np.ndarray | None = None  # (S,) unique species (Z, ion)
     species_ion: np.ndarray | None = None
@@ -155,6 +196,31 @@ class AtomData:
         old_to_new[lmask] = np.arange(int(lmask.sum()))
         line_mask = np.isin(self.line_z, wanted)
 
+        photo_ion = None
+        if self.photo_ion is not None:
+            pi = self.photo_ion
+            cmask = np.isin(pi.cont_z, wanted)
+            keep = np.nonzero(cmask)[0]
+            refs = pi.block_references
+            pts = np.concatenate(
+                [np.arange(refs[c], refs[c + 1]) for c in keep]
+            ) if len(keep) else np.zeros(0, dtype=np.int64)
+            new_refs = np.zeros(len(keep) + 1, dtype=np.int32)
+            np.cumsum(
+                [refs[c + 1] - refs[c] for c in keep], out=new_refs[1:]
+            )
+            photo_ion = PhotoIonizationData(
+                cont_z=pi.cont_z[keep],
+                cont_ion=pi.cont_ion[keep],
+                cont_level=pi.cont_level[keep],
+                level_flat_idx=old_to_new[pi.level_flat_idx[keep]].astype(
+                    np.int32
+                ),
+                block_references=new_refs,
+                nu=pi.nu[pts],
+                x_sect=pi.x_sect[pts],
+            )
+
         return AtomData(
             atomic_numbers=self.atomic_numbers[emask],
             masses=self.masses[emask],
@@ -178,6 +244,7 @@ class AtomData:
             line_z=self.line_z[line_mask],
             line_ion=self.line_ion[line_mask],
             meta=dict(self.meta),
+            photo_ion=photo_ion,
             zeta_data=self.zeta_data,
         )
 
@@ -292,4 +359,5 @@ def build_macro_atom(atom: AtomData, downbranch: bool = False) -> MacroAtomData:
         line2macro_level_upper=macro_level_of_flat[atom.line_upper_idx].astype(
             np.int32
         ),
+        macro_flat_ids=macro_flat_ids.astype(np.int32),
     )

@@ -24,6 +24,8 @@ def make_synthetic_atom_data(
     n_levels: int = 25,
     max_level_jump: int | None = None,
     seed: int = 42,
+    continuum_species=(),
+    n_photo_ion_points: int = 16,
 ) -> AtomData:
     """Build a synthetic AtomData.
 
@@ -40,6 +42,11 @@ def make_synthetic_atom_data(
     max_level_jump
         If set, only transitions with (upper - lower) <= max_level_jump are
         kept (controls the line count).
+    continuum_species
+        (Z, ion) pairs for which hydrogenic photoionization cross-section
+        tables are generated (sigma = sigma_0/(k+1) * (nu_th/nu)^3 on a
+        geometric frequency grid) — the stand-in for the reference's
+        ``photoionization_data`` HDF table used by continuum/IIP transport.
     """
     rng = np.random.RandomState(seed)
 
@@ -102,6 +109,44 @@ def make_synthetic_atom_data(
         [flat[(r[0], r[1], r[3])] for r in line_rows], dtype=np.int32
     )
 
+    # photoionization tables for the requested continuum species
+    photo_ion = None
+    if continuum_species:
+        cont_rows = []  # (nu_threshold, z, ion, k, flat_idx, nus, xs)
+        for z, ion in continuum_species:
+            n_stages = min(int(z), max_ion_stage)
+            if ion >= n_stages:
+                continue
+            chi_next = 13.6 * EV * ((ion + 1) ** 1.8) * (1.0 + z / 20.0)
+            ks = np.arange(n_levels)
+            energies = chi_next * (1.0 - 1.0 / (1.0 + ks) ** 2)
+            for k in range(n_levels):
+                nu_th = (chi_next - energies[k]) / H
+                nus = nu_th * np.geomspace(1.0, 30.0, n_photo_ion_points)
+                sigma0 = 6.3e-18 / (k + 1)  # hydrogenic-like scale [cm^2]
+                xs = sigma0 * (nu_th / nus) ** 3
+                cont_rows.append(
+                    (nu_th, z, ion, k, flat[(z, ion, k)], nus, xs)
+                )
+        # continuum_idx order: threshold nu DESCENDING (reference
+        # level2continuum_idx sort, iip_plasma/properties/continuum.py:1448)
+        cont_rows.sort(key=lambda r: -r[0])
+        refs = np.zeros(len(cont_rows) + 1, dtype=np.int32)
+        np.cumsum([len(r[5]) for r in cont_rows], out=refs[1:])
+        from tardis_tpu.atomic.atom_data import PhotoIonizationData
+
+        photo_ion = PhotoIonizationData(
+            cont_z=np.array([r[1] for r in cont_rows], dtype=np.int64),
+            cont_ion=np.array([r[2] for r in cont_rows], dtype=np.int64),
+            cont_level=np.array([r[3] for r in cont_rows], dtype=np.int64),
+            level_flat_idx=np.array(
+                [r[4] for r in cont_rows], dtype=np.int32
+            ),
+            block_references=refs,
+            nu=np.concatenate([r[5] for r in cont_rows]),
+            x_sect=np.concatenate([r[6] for r in cont_rows]),
+        )
+
     zs = np.asarray(sorted(set(int(z) for z in atomic_numbers)))
     zeta_t = np.linspace(2000.0, 40000.0, 20)
     zeta_data = {}
@@ -128,5 +173,6 @@ def make_synthetic_atom_data(
         line_z=line_z,
         line_ion=line_ion,
         meta={"source": "synthetic", "seed": seed},
+        photo_ion=photo_ion,
         zeta_data=zeta_data,
     )
