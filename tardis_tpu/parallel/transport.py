@@ -99,7 +99,7 @@ def run_transport_sharded(
         n_steps = lax.pmax(carry.n_steps, "packets")
         n_events = lax.psum(carry.n_events, "packets")
         vp_count = lax.psum(carry.vp_count, "packets")
-        return carry._replace(
+        reduced = carry._replace(
             est_j=est_j,
             est_nubar=est_nubar,
             line_diff=line_diff,
@@ -107,6 +107,12 @@ def run_transport_sharded(
             n_steps=n_steps,
             n_events=n_events,
         )
+        if static.enable_continuum:
+            reduced = reduced._replace(
+                cont_moments=lax.psum(carry.cont_moments, "packets"),
+                est_ff_heat=lax.psum(carry.est_ff_heat, "packets"),
+            )
+        return reduced
 
     spec_repl = jax.tree.map(lambda _: P(), tables)
     carry_specs = TransportCarry(
@@ -128,6 +134,8 @@ def run_transport_sharded(
         vp_count=P(),
         tr_packed=P("packets"),
         li_packed=P("packets"),
+        cont_moments=P(),
+        est_ff_heat=P(),
         n_steps=P(),
         n_events=P(),
     )

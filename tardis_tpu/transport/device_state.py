@@ -63,6 +63,28 @@ class TransportTables(NamedTuple):
     # tiled-search structures (transport/tiled_search.py)
     neg_nu_tiled: object  # TiledTable over ascending -line_nu
     pred_tables: object  # PredicateTables over per-shell tau prefix sums
+    # ---- continuum (IIP) tables; size-1 dummies when disabled ----
+    # merged bound-free frequency grid (all continua's knots + hard-edge
+    # sentinels; linear interp on it EXACTLY reproduces the reference's
+    # per-block interpolation, opacities/opacities.py:111-180)
+    cont_grid_nu: jnp.ndarray = jnp.zeros(2, jnp.float32)  # (Ng,) ascending
+    cont_xsect: jnp.ndarray = jnp.zeros(2, jnp.float32)  # (Ng*C,) flat
+    cont_A: jnp.ndarray = jnp.zeros(1, jnp.float32)  # (C*S,) level_pop*ct
+    cont_B: jnp.ndarray = jnp.zeros(1, jnp.float32)  # (C*S,) lte_coef*ct
+    cont_boltz_coef: jnp.ndarray = jnp.zeros(1, jnp.float32)  # (S,) hnu/kTe
+    cont_ff_coef: jnp.ndarray = jnp.zeros(1, jnp.float32)  # (S,)
+    # absorbing-Markov macro tables (opacities/continuum_macro.py)
+    mk_cum_B: jnp.ndarray = jnp.zeros(1, jnp.float32)  # (S*M*M,)
+    deact_block_start: jnp.ndarray = jnp.zeros(2, jnp.int32)  # (M+1,)
+    deact_cum_prob: jnp.ndarray = jnp.zeros(1, jnp.float32)  # (D*S,)
+    deact_kind: jnp.ndarray = jnp.zeros(1, jnp.int8)  # (D,)
+    deact_id: jnp.ndarray = jnp.zeros(1, jnp.int32)  # (D,)
+    line2state: jnp.ndarray = jnp.zeros(1, jnp.int32)  # (L,)
+    photo_ion_state: jnp.ndarray = jnp.zeros(1, jnp.int32)  # (C,)
+    # free-bound emission sampling (interaction_events.py:40-57)
+    fb_cdf: jnp.ndarray = jnp.zeros(1, jnp.float32)  # (P*S,)
+    fb_nu: jnp.ndarray = jnp.zeros(1, jnp.float32)  # (P,) scaled
+    pion_block_start: jnp.ndarray = jnp.zeros(2, jnp.int32)  # (C+1,)
 
 
 class TransportStaticConfig(NamedTuple):
@@ -96,6 +118,47 @@ class TransportStaticConfig(NamedTuple):
     # resonance-distance solve (monotonicity in line index is preserved,
     # so the binary-search design carries over unchanged)
     enable_full_relativity: bool = False
+    # ---- continuum (IIP) mode (reference modes/iip/) ----
+    enable_continuum: bool = False
+    n_continua: int = 0
+    n_cont_grid: int = 0  # merged grid length Ng
+    n_macro_states: int = 0  # Markov state count M (incl. i and k states)
+    state_bits: int = 1  # ceil(log2 M) + 1
+    deact_bits: int = 1  # ceil(log2 max deactivation block)
+    fb_bits: int = 1  # ceil(log2 max photoionization block)
+    k_state: int = 0
+
+
+def build_continuum_grid(photo_ion, edge_eps: float = 1e-6):
+    """Merged bound-free frequency grid + per-continuum cross-section table.
+
+    Returns (grid_nu (Ng,) ascending cgs Hz, xsect (Ng, C)).  Each continuum
+    contributes its tabulation knots plus hard-edge sentinel knots just
+    outside its support, so piecewise-linear interpolation on the merged grid
+    reproduces the reference's per-block interpolation with hard thresholds
+    (opacities/opacities.py:88-180) exactly, while the kernel needs only ONE
+    searchsorted per event instead of one per active continuum.
+    """
+    pi = photo_ion
+    Cn = pi.n_continua
+    knots = [pi.nu]
+    th = pi.nu_threshold
+    mx = pi.nu_max
+    knots.append(th * (1.0 - edge_eps))
+    knots.append(mx * (1.0 + edge_eps))
+    lo = pi.nu.min()
+    hi = pi.nu.max()
+    knots.append(np.array([lo * 0.5, lo * 0.75, hi * 1.5, hi * 2.0]))
+    grid = np.unique(np.concatenate(knots))
+    xs = np.zeros((len(grid), Cn))
+    for c in range(Cn):
+        a, b = pi.block_references[c], pi.block_references[c + 1]
+        nus = np.concatenate(
+            [[th[c] * (1.0 - edge_eps)], pi.nu[a:b], [mx[c] * (1.0 + edge_eps)]]
+        )
+        vals = np.concatenate([[0.0], pi.x_sect[a:b], [0.0]])
+        xs[:, c] = np.interp(grid, nus, vals, left=0.0, right=0.0)
+    return grid, xs
 
 
 def build_transport_tables(
@@ -106,6 +169,8 @@ def build_transport_tables(
     disable_electron_scattering: bool = False,
     macro_state=None,
     enable_full_relativity: bool = False,
+    continuum_state=None,
+    continuum_macro=None,
 ):
     """Build device tables from host-side plasma/geometry state.
 
@@ -156,6 +221,63 @@ def build_transport_tables(
         line2macro = np.zeros(L, dtype=np.int32)
         macro_block_bits = 1
 
+    cont_kw = {}
+    cont_static = {}
+    if continuum_state is not None:
+        from tardis_tpu.constants import H as H_PLANCK
+        from tardis_tpu.constants import K_B
+        from tardis_tpu.plasma.continuum import FF_OPAC_CONST
+
+        cs = continuum_state
+        cm = continuum_macro
+        pi = atom_data.photo_ion
+        grid, xs = build_continuum_grid(pi)
+        Ng = len(grid)
+        Cn = pi.n_continua
+        M = cm.n_states
+        t_e = cs.t_electrons
+        cont_kw = dict(
+            cont_grid_nu=jnp.asarray(grid / NU_UNIT, jnp.float32),
+            cont_xsect=jnp.asarray(xs.reshape(-1), jnp.float32),
+            cont_A=jnp.asarray((cs.level_pop * ct).reshape(-1), jnp.float32),
+            cont_B=jnp.asarray(
+                (cs.lte_pop_coef * ct).reshape(-1), jnp.float32
+            ),
+            cont_boltz_coef=jnp.asarray(
+                H_PLANCK * NU_UNIT / (K_B * t_e), jnp.float32
+            ),
+            cont_ff_coef=jnp.asarray(
+                FF_OPAC_CONST * cs.ff_opacity_factor * ct / NU_UNIT**3,
+                jnp.float32,
+            ),
+            mk_cum_B=jnp.asarray(cm.cum_B.reshape(-1), jnp.float32),
+            deact_block_start=jnp.asarray(cm.deact_block_start, jnp.int32),
+            deact_cum_prob=jnp.asarray(
+                cm.deact_cum_prob.reshape(-1), jnp.float32
+            ),
+            deact_kind=jnp.asarray(cm.deact_kind, jnp.int8),
+            deact_id=jnp.asarray(cm.deact_id, jnp.int32),
+            line2state=jnp.asarray(cm.line2state, jnp.int32),
+            photo_ion_state=jnp.asarray(cm.photo_ion_state, jnp.int32),
+            fb_cdf=jnp.asarray(cs.fb_emission_cdf.reshape(-1), jnp.float32),
+            fb_nu=jnp.asarray(pi.nu / NU_UNIT, jnp.float32),
+            pion_block_start=jnp.asarray(pi.block_references, jnp.int32),
+        )
+        cont_static = dict(
+            enable_continuum=True,
+            n_continua=Cn,
+            n_cont_grid=Ng,
+            n_macro_states=M,
+            state_bits=int(np.ceil(np.log2(max(2, M)))) + 1,
+            deact_bits=int(
+                np.ceil(np.log2(max(2, np.max(np.diff(cm.deact_block_start)))))
+            ) + 1,
+            fb_bits=int(
+                np.ceil(np.log2(max(2, np.max(np.diff(pi.block_references)))))
+            ) + 1,
+            k_state=cm.k_state,
+        )
+
     tables = TransportTables(
         r_inner=jnp.asarray(geometry.r_inner / ct, jnp.float32),
         r_outer=jnp.asarray(geometry.r_outer / ct, jnp.float32),
@@ -172,6 +294,7 @@ def build_transport_tables(
         line2macro=jnp.asarray(line2macro, jnp.int32),
         neg_nu_tiled=build_tiled_table(-line_nu_scaled),
         pred_tables=build_predicate_tables(cum_f64, line_nu_scaled),
+        **cont_kw,
     )
     import jax
 
@@ -190,5 +313,6 @@ def build_transport_tables(
         # an unrolled masked walk compiles and runs cleanly there, while
         # XLA:CPU's LLVM backend prefers the small while_loop graph
         unroll_macro_walk=on_accelerator,
+        **cont_static,
     )
     return tables, static

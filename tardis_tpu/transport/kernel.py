@@ -57,7 +57,14 @@ STATUS_REABSORBED = 2
 # RNG draw tags
 _TAG_TAU = 0
 _TAG_MU = 1
+_TAG_ESCAT = 2  # e-scatter vs continuum-process split
+_TAG_BFFF = 3  # bound-free vs free-free split
+_TAG_CONT_SEL = 4  # which bound-free continuum absorbed
+_TAG_MK_ROW = 6  # absorbing-Markov destination state
+_TAG_MK_DEACT = 7  # deactivation channel within the state block
 _TAG_MACRO = 8  # + jump index
+_TAG_FB_NU = 50  # free-bound emission frequency
+_TAG_FF_NU = 51  # free-free emission frequency
 
 
 class TransportCarry(NamedTuple):
@@ -87,6 +94,14 @@ class TransportCarry(NamedTuple):
     tr_packed: jnp.ndarray  # r, nu, energy, shell, type, unused
     # last-interaction tracking ((N,6) packed; (1,6) when disabled)
     li_packed: jnp.ndarray  # type, in_line, out_line, shell, in_nu, r
+    # continuum estimator moments per (grid cell, shell): columns
+    # [M0=w, M1=w/nu, M2=w*nu, Mb0=w*b, Mb1=w*b/nu, Mb2=w*b*nu, count, 0]
+    # with w = E_cmf * path_cmf, b = exp(-h nu_cmf / k T_e); the per-continuum
+    # estimators of the reference (radfield_estimator_calcs.py:57-125) are
+    # recovered host-side EXACTLY under linear-interp cross-sections —
+    # O(1) per event instead of O(active continua).  ((1,8) when disabled)
+    cont_moments: jnp.ndarray
+    est_ff_heat: jnp.ndarray  # (S,) f32 ff-heating estimator ((1,) disabled)
     # diagnostics
     n_steps: jnp.ndarray  # i32 scalar
     n_events: jnp.ndarray  # i64-ish f32 accumulator
@@ -203,6 +218,68 @@ def _macro_walk(tables, static, i_event, shell, keys, is_line):
     return em_line
 
 
+def _markov_interaction(tables, static, state0, shell, keys):
+    """Absorbing-Markov macro-atom interaction: exactly two categorical draws.
+
+    Replaces the reference's macro_atom_interaction_iip
+    (transport/montecarlo/macro_atom.py:107-184): draw the absorbing state
+    from the precomputed B-matrix row, then the deactivation channel within
+    that state's block — both as batched binary searches with fixed trip
+    counts (the TPU-friendly formulation of macro-atom + continuum physics).
+
+    Returns (emission kind (B,) int8, channel id (B,) int32).
+    """
+    M = static.n_macro_states
+    S = static.n_shells
+    u1 = _uniform_from_key(keys, _TAG_MK_ROW)
+    row_base = (shell * M + state0) * M
+
+    def pred_row(i):
+        return tables.mk_cum_B[row_base + i] >= u1
+
+    a = _bsearch_first_true(
+        pred_row, jnp.zeros_like(state0), jnp.full_like(state0, M),
+        static.state_bits,
+    )
+    a = jnp.clip(a, 0, M - 1)
+
+    u2 = _uniform_from_key(keys, _TAG_MK_DEACT)
+    b0 = tables.deact_block_start[a]
+    b1 = tables.deact_block_start[a + 1]
+
+    def pred_d(t):
+        return tables.deact_cum_prob[t * S + shell] >= u2
+
+    t = _bsearch_first_true(pred_d, b0, b1, static.deact_bits)
+    t = jnp.clip(t, b0, jnp.maximum(b1 - 1, b0))
+    return tables.deact_kind[t], tables.deact_id[t]
+
+
+def _sample_fb_nu(tables, static, cont_id, shell, keys):
+    """Sample a free-bound emission frequency from the per-block CDF.
+
+    (reference sample_nu_free_bound, interaction_events.py:40-57: searchsorted
+    into the cumulative emissivity block + linear inverse interpolation)
+    """
+    S = static.n_shells
+    z = _uniform_from_key(keys, _TAG_FB_NU)
+    c = jnp.clip(cont_id, 0, static.n_continua - 1)
+    b0 = tables.pion_block_start[c]
+    b1 = tables.pion_block_start[c + 1]
+
+    def pred(i):
+        return tables.fb_cdf[i * S + shell] >= z
+
+    idx = _bsearch_first_true(pred, b0, b1, static.fb_bits)
+    idx = jnp.clip(idx, b0 + 1, jnp.maximum(b1 - 1, b0 + 1))
+    cdf_i = tables.fb_cdf[idx * S + shell]
+    cdf_im = tables.fb_cdf[(idx - 1) * S + shell]
+    nu_i = tables.fb_nu[idx]
+    nu_im = tables.fb_nu[idx - 1]
+    frac = jnp.where(cdf_i > cdf_im, (cdf_i - z) / (cdf_i - cdf_im), 0.0)
+    return nu_i - frac * (nu_i - nu_im)
+
+
 def make_transport_step(
     tables: TransportTables,
     static: TransportStaticConfig,
@@ -316,7 +393,47 @@ def make_transport_step(
         else:
             dop = 1.0 - z  # = 1 - mu*beta(r)  (homologous: beta = r/ct)
         nu_cmf = nu * dop
-        chi = tables.chi_e[shell_c]
+        chi_e_cmf = tables.chi_e[shell_c]
+        if static.enable_continuum:
+            # chi_continuum = chi_e + chi_bf(nu_cmf) + chi_ff(nu_cmf)
+            # (reference modes/iip/packet_propagation.py:125-141); bound-free
+            # via ONE searchsorted on the merged grid + dense (B, C) gather —
+            # replaces the per-active-continuum loop of chi_bf_interpolator
+            # (opacities/opacities.py:111-180)
+            Cn, Ng = static.n_continua, static.n_cont_grid
+            gcell = searchsorted_unrolled(
+                tables.cont_grid_nu, nu_cmf, side="right"
+            ) - 1
+            gcell = jnp.clip(gcell, 0, Ng - 2)
+            dg = tables.cont_grid_nu[gcell + 1] - tables.cont_grid_nu[gcell]
+            tfrac = jnp.clip(
+                (nu_cmf - tables.cont_grid_nu[gcell])
+                / jnp.maximum(dg, 1e-30),
+                0.0,
+                1.0,
+            )
+            cols = jnp.arange(Cn)[None, :]
+            x0 = tables.cont_xsect[gcell[:, None] * Cn + cols]
+            x1 = tables.cont_xsect[(gcell[:, None] + 1) * Cn + cols]
+            xs_bf = x0 + tfrac[:, None] * (x1 - x0)  # (B, C)
+            boltz = jnp.exp(
+                -nu_cmf * tables.cont_boltz_coef[shell_c]
+            )
+            coefA = tables.cont_A[cols * S + shell_c[:, None]]
+            coefB = tables.cont_B[cols * S + shell_c[:, None]]
+            chi_bf_cum = jnp.cumsum(
+                jnp.maximum(xs_bf * (coefA - coefB * boltz[:, None]), 0.0),
+                axis=1,
+            )
+            chi_bf_tot = chi_bf_cum[:, -1]
+            chi_ff = (
+                tables.cont_ff_coef[shell_c]
+                / jnp.maximum(nu_cmf, 1e-30) ** 3
+                * (1.0 - boltz)
+            )
+            chi = chi_e_cmf + chi_bf_tot + chi_ff
+        else:
+            chi = chi_e_cmf
         if static.enable_full_relativity:
             # (reference classic/packet_propagation.py:138-141)
             chi = chi * dop
@@ -432,6 +549,30 @@ def make_transport_step(
             (w_j * nu_cmf)[:, None] * onehot, axis=0
         )
 
+        if static.enable_continuum:
+            # continuum estimator moments per (grid cell, shell); host
+            # reconstructs the reference's per-continuum estimators
+            # (update_estimators_bound_free,
+            #  estimators/radfield_estimator_calcs.py:57-125) exactly
+            n_mrows = (static.n_cont_grid - 1) * S
+            m_idx = jnp.where(alive, gcell * S + shell_c, n_mrows)
+            inv_nu = 1.0 / jnp.maximum(nu_cmf, 1e-30)
+            wb = w_j * boltz
+            mrows = jnp.stack(
+                [w_j, w_j * inv_nu, w_j * nu_cmf, wb, wb * inv_nu,
+                 wb * nu_cmf, live_f, jnp.zeros_like(w_j)],
+                axis=1,
+            )
+            cont_moments = carry.cont_moments.at[m_idx].add(
+                mrows, mode="drop"
+            )
+            est_ff_heat = carry.est_ff_heat + jnp.sum(
+                (w_j * chi_ff)[:, None] * onehot, axis=0
+            )
+        else:
+            cont_moments = carry.cont_moments
+            est_ff_heat = carry.est_ff_heat
+
         if static.enable_full_relativity:
             # increments are line-independent: E/nu and E (reference
             # calc_packet_energy_full_relativity) — finalize must NOT apply
@@ -459,6 +600,18 @@ def make_transport_step(
         is_boundary = alive & (event == EV_BOUNDARY)
         is_escat = alive & (event == EV_ESCAT)
         is_line = alive & (event == EV_LINE)
+        if static.enable_continuum:
+            # split the continuous event into Thomson vs continuum process
+            # (reference trace_packet escat_prob branch,
+            #  homologous_rad_packet_transport.py:131-141)
+            u_esc = _uniform_from_key(keys, _TAG_ESCAT)
+            escat_prob = chi_e_cmf / jnp.maximum(
+                chi_e_cmf + chi_bf_tot + chi_ff, 1e-30
+            )
+            is_contproc = is_escat & (u_esc >= escat_prob)
+            is_escat = is_escat & (u_esc < escat_prob)
+        else:
+            is_contproc = jnp.zeros_like(is_escat)
 
         # boundary
         new_shell = shell + jnp.where(is_boundary, delta_shell, 0)
@@ -494,25 +647,72 @@ def make_transport_step(
 
         # line emission (reference interaction_events.py:227-262 +
         # interaction_event_callers.py:187-240)
-        if static.line_interaction_mode == LINE_SCATTER:
-            em_line = i_event
-        else:
-            em_line = _macro_walk(
-                tables, static, i_event, shell_c, keys, is_line
+        if static.enable_continuum:
+            # IIP mode: line AND continuum absorptions both activate the
+            # absorbing-Markov macro atom (reference continuum_event +
+            # line_scatter_event -> macro_atom_event -> interaction_iip)
+            u_bfff = _uniform_from_key(keys, _TAG_BFFF)
+            frac_bf = chi_bf_tot / jnp.maximum(chi_bf_tot + chi_ff, 1e-30)
+            is_bf = u_bfff < frac_bf
+            u_csel = _uniform_from_key(keys, _TAG_CONT_SEL) * chi_bf_tot
+            c_sel = jnp.sum(
+                (chi_bf_cum < u_csel[:, None]).astype(I32), axis=1
             )
-        nu_line_em = tables.line_nu[jnp.clip(em_line, 0, L - 1)]
-        nu_line_new = nu_line_em * inv_dop_new
+            c_sel = jnp.clip(c_sel, 0, static.n_continua - 1)
+            state0 = jnp.where(
+                is_line,
+                tables.line2state[jnp.clip(i_event, 0, L - 1)],
+                jnp.where(
+                    is_bf, tables.photo_ion_state[c_sel], static.k_state
+                ),
+            )
+            em_kind, chan_id = _markov_interaction(
+                tables, static, state0, shell_c, keys
+            )
+            em_line = jnp.clip(chan_id, 0, L - 1)
+            nu_cmf_fb = _sample_fb_nu(tables, static, chan_id, shell_c, keys)
+            u_ff = _uniform_from_key(keys, _TAG_FF_NU)
+            # nu_ff = -kT/h ln(u) (sample_nu_free_free,
+            # interaction_events.py:141-152)
+            nu_cmf_ff = -jnp.log(u_ff) / tables.cont_boltz_coef[shell_c]
+            nu_cmf_em = jnp.where(
+                em_kind == 0,
+                tables.line_nu[em_line],
+                jnp.where(em_kind == 1, nu_cmf_fb, nu_cmf_ff),
+            )
+            nu_line_new = nu_cmf_em * inv_dop_new
+            # next line id: emitted line + 1 for bb, reverse-searchsorted of
+            # the comoving frequency for bf/ff (get_current_line_id,
+            # interaction_events.py:21-36)
+            next_line_em = jnp.where(
+                em_kind == 0,
+                em_line + 1,
+                tiled_searchsorted(
+                    tables.neg_nu_tiled, -nu_cmf_em, side="right"
+                ),
+            )
+        else:
+            if static.line_interaction_mode == LINE_SCATTER:
+                em_line = i_event
+            else:
+                em_line = _macro_walk(
+                    tables, static, i_event, shell_c, keys, is_line
+                )
+            nu_line_em = tables.line_nu[jnp.clip(em_line, 0, L - 1)]
+            nu_line_new = nu_line_em * inv_dop_new
+            next_line_em = em_line + 1
         e_line = energy * dop_old_pos * inv_dop_new
 
-        interacts = is_escat | is_line
+        absorbs = is_line | is_contproc
+        interacts = is_escat | absorbs
         nu_pre_interaction = nu
-        nu = jnp.where(is_escat, nu_escat, jnp.where(is_line, nu_line_new, nu))
+        nu = jnp.where(is_escat, nu_escat, jnp.where(absorbs, nu_line_new, nu))
         energy = jnp.where(
-            is_escat, e_escat, jnp.where(is_line, e_line, energy)
+            is_escat, e_escat, jnp.where(absorbs, e_line, energy)
         )
         mu_after = jnp.where(interacts, mu_emit, mu_new)
         next_line = jnp.where(
-            is_line, em_line + 1, jnp.where(alive, end_line, next_line)
+            absorbs, next_line_em, jnp.where(alive, end_line, next_line)
         )
 
         r = jnp.where(alive, r_new, r)
@@ -530,7 +730,10 @@ def make_transport_step(
                 slot_ok, pkt_id * K + jnp.minimum(event_idx, K - 1),
                 n_packets * K + 1,
             )
-            ev_code = jnp.where(is_line, 2.0, jnp.where(is_escat, 1.0, 3.0))
+            ev_code = jnp.where(
+                is_line, 2.0,
+                jnp.where(is_escat, 1.0, jnp.where(is_contproc, 4.0, 3.0)),
+            )
             rows_t = jnp.stack(
                 [r, nu, energy, shell.astype(F32), ev_code,
                  jnp.zeros_like(r)],
@@ -545,7 +748,7 @@ def make_transport_step(
             tr_idx = jnp.where(interacts, pkt_id, n_packets + 1)
             rows_li = jnp.stack(
                 [
-                    jnp.where(is_line, 2.0, 1.0),
+                    jnp.where(is_line, 2.0, jnp.where(is_contproc, 3.0, 1.0)),
                     jnp.where(is_line, i_event, -1).astype(F32),
                     jnp.where(is_line, em_line, -1).astype(F32),
                     shell_c.astype(F32),
@@ -605,6 +808,8 @@ def make_transport_step(
             vp_count=vp_count,
             tr_packed=tr_packed,
             li_packed=li_packed,
+            cont_moments=cont_moments,
+            est_ff_heat=est_ff_heat,
             n_steps=carry.n_steps + 1,
             n_events=carry.n_events + jnp.sum(alive.astype(F32)),
         )
@@ -642,6 +847,16 @@ def init_carry(static: TransportStaticConfig, batch_size: int, n_packets: int):
         vp_count=jnp.zeros((), I32),
         tr_packed=z((TRK, 6), F32),
         li_packed=z((T, 6), F32),
+        cont_moments=z(
+            (
+                (static.n_cont_grid - 1) * S
+                if static.enable_continuum
+                else 1,
+                8,
+            ),
+            F32,
+        ),
+        est_ff_heat=z(S if static.enable_continuum else 1, F32),
         n_steps=jnp.zeros((), I32),
         n_events=jnp.zeros((), F32),
     )
@@ -845,6 +1060,11 @@ def _run_transport_chunked(
         n_events=tot("n_events"),
         vp_count=tot("vp_count"),
     )
+    if static.enable_continuum:
+        merged = merged._replace(
+            cont_moments=tot("cont_moments"),
+            est_ff_heat=tot("est_ff_heat"),
+        )
     if static.vpacket_capacity > 0:
         merged = merged._replace(vp_packed=cat("vp_packed"))
     if static.track_last_interaction:

@@ -62,6 +62,10 @@ class TransportResult:
     n_packets: int
     n_events: float
     n_steps: int
+    # continuum estimators (None unless continuum enabled); normalized by
+    # 1/(dt V h) (rates) and 1/(dt V) (heatings) but NOT radiation-field
+    # damped — the IIP workflow applies the damping factor
+    continuum: object | None = None  # plasma.continuum.ContinuumEstimators
 
     @property
     def emitted_mask(self):
@@ -115,11 +119,18 @@ class TransportSolver:
         n_vpackets: int = 0,
         spectrum_nu_edges: np.ndarray | None = None,
         vpacket_spawn_nu_range: tuple | None = None,
+        continuum_state=None,
+        continuum_macro=None,
     ) -> TransportResult:
         geometry = sim_state.geometry
         ct = C * geometry.time_explosion
         macro_state = None
-        if self.line_interaction_type in ("downbranch", "macroatom"):
+        if continuum_state is not None:
+            # IIP mode: the absorbing-Markov tables replace the classic
+            # macro-atom walk entirely (and force full relativity, as the
+            # reference does — modes/iip/packet_propagation.py:102)
+            pass
+        elif self.line_interaction_type in ("downbranch", "macroatom"):
             macro = (
                 atom_data.downbranch
                 if self.line_interaction_type == "downbranch"
@@ -139,7 +150,11 @@ class TransportSolver:
             line_interaction_type=self.line_interaction_type,
             disable_electron_scattering=self.disable_electron_scattering,
             macro_state=macro_state,
-            enable_full_relativity=self.enable_full_relativity,
+            enable_full_relativity=(
+                self.enable_full_relativity or continuum_state is not None
+            ),
+            continuum_state=continuum_state,
+            continuum_macro=continuum_macro,
         )
         if self.disable_line_scattering:
             static = static._replace(disable_line_scattering=True)
@@ -216,11 +231,16 @@ class TransportSolver:
         return self._finalize(
             carry, sim_state, atom_data, n_packets,
             virt_edges=virt_edges, virt_hist=virt_hist,
+            full_relativity=(
+                self.enable_full_relativity or continuum_state is not None
+            ),
+            continuum_enabled=continuum_state is not None,
         )
 
     # ------------------------------------------------------------------
     def _finalize(self, carry, sim_state, atom_data, n_packets,
-                  virt_edges=None, virt_hist=None) -> TransportResult:
+                  virt_edges=None, virt_hist=None, full_relativity=None,
+                  continuum_enabled=False) -> TransportResult:
         """Convert kernel-unit estimators to physical cgs.
 
         Kernel units: length ct, frequency NU_UNIT, energy E0 = 1/N erg
@@ -242,7 +262,9 @@ class TransportSolver:
         line_diff = np.asarray(carry.line_diff, dtype=np.float64)
         jb = np.cumsum(line_diff[:, 0].reshape(L + 1, S), axis=0)[:L]
         ed = np.cumsum(line_diff[:, 1].reshape(L + 1, S), axis=0)[:L]
-        if self.enable_full_relativity:
+        if full_relativity is None:
+            full_relativity = self.enable_full_relativity
+        if full_relativity:
             # FR increments are line-independent (see kernel step 4)
             j_blue = jb * (e0 / NU_UNIT)
             edot = ed * e0
@@ -275,8 +297,15 @@ class TransportSolver:
                 "r": li[:, 5] * ct,
             }
 
+        continuum = None
+        if continuum_enabled:
+            continuum = reconstruct_continuum_estimators(
+                carry, atom_data, sim_state, n_packets, time_of_simulation
+            )
+
         out = np.asarray(carry.out_packed, dtype=np.float64)
         return TransportResult(
+            continuum=continuum,
             rpacket_tracker=rpacket_tracker,
             last_interaction=last_interaction,
             output_nu=out[:, 0] * NU_UNIT,
@@ -296,6 +325,79 @@ class TransportSolver:
             n_events=float(carry.n_events),
             n_steps=int(carry.n_steps),
         )
+
+
+def reconstruct_continuum_estimators(
+    carry, atom_data, sim_state, n_packets, time_of_simulation
+):
+    """Per-continuum estimators from the kernel's frequency-grid moments.
+
+    Within each merged-grid cell every cross-section is linear in nu, so the
+    reference's per-event per-active-continuum accumulations
+    (update_estimators_bound_free, estimators/radfield_estimator_calcs.py:57)
+    factor EXACTLY into (alpha_c, beta_c) contractions against the moments
+    M_k = sum(w nu^k) and Mb_k = sum(w b nu^k) accumulated in-kernel.
+
+    Returns a :class:`tardis_tpu.plasma.continuum.ContinuumEstimators` with
+    the reference's volume normalization (photo_ion_norm_factor = 1/(dt V h),
+    heatings x h; workflows/type_iip_workflow.py:768-790) already applied —
+    radiation-field damping is left to the workflow.
+    """
+    from tardis_tpu.constants import H
+    from tardis_tpu.plasma.continuum import ContinuumEstimators
+    from tardis_tpu.transport.device_state import build_continuum_grid
+
+    pi = atom_data.photo_ion
+    ct = C * sim_state.time_explosion
+    e0 = 1.0 / n_packets
+    S = sim_state.no_of_shells
+    grid, xs = build_continuum_grid(pi)  # same build as the kernel tables
+    grid_s = grid / NU_UNIT
+
+    m = np.asarray(carry.cont_moments, dtype=np.float64)
+    cells = len(grid) - 1
+    m = m.reshape(cells, S, 8)
+    M0, M1, M2 = m[..., 0], m[..., 1], m[..., 2]
+    Mb0, Mb1, Mb2 = m[..., 3], m[..., 4], m[..., 5]
+    counts = m[..., 6]
+
+    dg = grid_s[1:] - grid_s[:-1]  # (cells,)
+    beta = (xs[1:] - xs[:-1]) / np.maximum(dg, 1e-300)[:, None]  # (cells, C)
+    alpha = xs[:-1] - beta * grid_s[:-1, None]
+
+    def contract(Ma, Mb_):
+        # sum_g alpha[g, c] * Ma[g, s] + beta[g, c] * Mb_[g, s]
+        return np.einsum("gc,gs->cs", alpha, Ma) + np.einsum(
+            "gc,gs->cs", beta, Mb_
+        )
+
+    # sum w sigma / nu  and  sum w b sigma / nu
+    photo_ion = contract(M1, M0) * (ct / NU_UNIT) * e0
+    stim_recomb = contract(Mb1, Mb0) * (ct / NU_UNIT) * e0
+    # sum w sigma (1 - nu_th/nu)
+    nu_th_s = pi.nu_threshold / NU_UNIT
+    bf_heating = (
+        contract(M0, M2) - nu_th_s[:, None] * contract(M1, M0)
+    ) * ct * e0
+    stim_recomb_cooling = (
+        contract(Mb0, Mb2) - nu_th_s[:, None] * contract(Mb1, Mb0)
+    ) * ct * e0
+
+    active = (xs[:-1] > 0) & (xs[1:] > 0)  # (cells, C)
+    stats = np.einsum("gc,gs->cs", active.astype(np.float64), counts)
+
+    ff_heating = np.asarray(carry.est_ff_heat, dtype=np.float64) * e0
+
+    volume = sim_state.volume
+    norm = 1.0 / (time_of_simulation * volume * H)  # (S,)
+    return ContinuumEstimators(
+        photo_ion=photo_ion * norm[None, :],
+        stim_recomb=stim_recomb * norm[None, :],
+        bf_heating=bf_heating * norm[None, :] * H,
+        stim_recomb_cooling=stim_recomb_cooling * norm[None, :] * H,
+        photo_ion_statistics=stats,
+        ff_heating=ff_heating * norm * H,
+    )
 
 
 def solve_radiation_field(

