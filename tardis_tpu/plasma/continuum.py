@@ -471,6 +471,76 @@ class ContinuumSolver:
         )
 
     # ------------------------------------------------------------------
+    def rate_equation_electron_density(
+        self, plasma_state, cont_state: ContinuumState
+    ) -> np.ndarray:
+        """Electron density implied by the radiative/collisional ionization
+        balance of the continuum species (S,).
+
+        For each continuum species the ion ratio follows the rate equations
+        (the IIP plasma's NLTE ionization, in place of Saha):
+
+            n_up / n_low = sum_c f_c (gamma_c + C_ion,c n_e)
+                           / (n_e sum_c (alpha_sp,c + alpha_stim,c
+                                         + C_rec,c n_e))
+
+        with f_c the bound-level fraction within the lower ion.  Charge
+        conservation then yields the new n_e (non-continuum species keep
+        their current ion splits).
+        """
+        n_e = cont_state.electron_densities
+        S = len(n_e)
+        ion_nd = plasma_state.ion_number_density.copy()
+
+        pairs = {}
+        for c in range(self.C_cont):
+            key = (int(self.pi.cont_z[c]), int(self.pi.cont_ion[c]))
+            pairs.setdefault(key, []).append(c)
+
+        for (z, j), cs_idx in pairs.items():
+            cs_idx = np.asarray(cs_idx)
+            low_row = int(
+                self.plasma.species_ion_row[
+                    self.plasma._species_lookup[(z, j)]
+                ]
+            )
+            up_row = int(
+                self.plasma.species_ion_row[
+                    self.plasma._species_lookup[(z, j + 1)]
+                ]
+            )
+            n_low = ion_nd[low_row]
+            n_lev = cont_state.level_pop[cs_idx]  # (k, S)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                f = np.where(n_low > 0, n_lev / n_low, 0.0)
+            ion_rate = (
+                f
+                * (
+                    cont_state.gamma[cs_idx]
+                    + cont_state.coll_ion_coeff[cs_idx] * n_e[None, :]
+                )
+            ).sum(axis=0)
+            rec_coeff = (
+                cont_state.alpha_sp[cs_idx]
+                + cont_state.alpha_stim[cs_idx]
+                + cont_state.coll_recomb_coeff[cs_idx] * n_e[None, :]
+            ).sum(axis=0)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ratio = np.where(
+                    (rec_coeff > 0) & (n_e > 0),
+                    np.clip(ion_rate, 0.0, None) / (rec_coeff * n_e),
+                    0.0,
+                )
+            total = ion_nd[low_row] + ion_nd[up_row]
+            ion_nd[up_row] = total * ratio / (1.0 + ratio)
+            ion_nd[low_row] = total / (1.0 + ratio)
+
+        n_rows = ion_nd.shape[0]
+        charges = np.zeros(n_rows)
+        charges[self.plasma.species_ion_row] = self.atom.species_ion
+        return (ion_nd * charges[:, None]).sum(axis=0)
+
+    # ------------------------------------------------------------------
     def heating_minus_cooling(
         self,
         plasma_state,

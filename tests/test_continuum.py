@@ -179,6 +179,41 @@ def test_iip_kernel_matches_f64_oracle(iip_setup):
     )
 
 
+def test_type_iip_workflow_runs():
+    """End-to-end IIP workflow: transport -> estimators -> thermal balance."""
+    from tardis_tpu.workflows.type_iip import TypeIIPWorkflow
+
+    cfg = copy.deepcopy(BASE_CONFIG)
+    cfg["model"]["abundances"] = {"H": 0.8, "He": 0.2}
+    cfg["plasma"]["line_interaction_type"] = "macroatom"
+    cfg["montecarlo"]["no_of_packets"] = 150
+    cfg["montecarlo"]["last_no_of_packets"] = 200
+    cfg["montecarlo"]["iterations"] = 2
+    atom = make_synthetic_atom_data(
+        atomic_numbers=(1, 2),
+        max_ion_stage=2,
+        n_levels=10,
+        continuum_species=((1, 0),),
+    ).prepare(line_interaction_type="macroatom")
+    wf = TypeIIPWorkflow(cfg, atom_data=atom, thermal_balance_max_nfev=3)
+    wf.run()
+    assert wf.completed
+    # thermal balance produced per-shell link values within bounds
+    link = np.asarray(wf.sim.plasma_solver.link_t_rad_t_electron)
+    assert link.shape == (20,)
+    assert np.all(link > 0) and np.all(link <= 1.5)
+    # continuum estimators were fed back
+    assert wf.cont_estimators is not None
+    assert np.all(wf.cont_estimators.photo_ion_statistics >= 0)
+    assert wf.cont_estimators.photo_ion.sum() > 0
+    # spectrum exists and is non-negative
+    assert wf.sim.spectrum_real is not None
+    assert np.all(wf.sim.spectrum_real.luminosity_nu >= 0)
+    # electron densities stayed positive and finite
+    n_e = wf.sim.plasma_state.electron_densities
+    assert np.all(np.isfinite(n_e)) and np.all(n_e > 0)
+
+
 def test_iip_all_packets_finish(iip_setup):
     state, atom, pls, ps, cs, cont, macro, tables, static = iip_setup
     N = 300
