@@ -327,6 +327,103 @@ class TransportSolver:
         )
 
 
+class NonhomologousTransportSolver(TransportSolver):
+    """Transport solver for arbitrary piecewise-linear velocity laws.
+
+    Counterpart of the reference's ``MCTransportSolverNonhomologous``
+    (/root/reference/tardis/transport/montecarlo/modes/nonhomologous/solver.py):
+    rescales the Sobolev depths to the local velocity gradient and runs the
+    nonhomologous kernel (transport/nonhomologous.py).  Continuum, virtual
+    packets, and full relativity are not part of this mode (the reference
+    mode is line-only and raises on full relativity,
+    modes/nonhomologous/packet_propagation.py:102-104).
+    """
+
+    def run_iteration(
+        self,
+        sim_state,
+        plasma_state,
+        atom_data,
+        n_packets: int,
+        seed: int,
+        iteration: int,
+        n_vpackets: int = 0,
+        spectrum_nu_edges: np.ndarray | None = None,
+        vpacket_spawn_nu_range: tuple | None = None,
+        continuum_state=None,
+        continuum_macro=None,
+    ) -> TransportResult:
+        if self.enable_full_relativity:
+            raise NotImplementedError(
+                "Full relativity not supported for non-homology."
+            )
+        if continuum_state is not None:
+            raise NotImplementedError(
+                "Continuum processes not supported for non-homology."
+            )
+        from tardis_tpu.transport.nonhomologous import (
+            build_nonhom_tables,
+            nonhomologous_plasma_state,
+            run_nonhom_transport,
+        )
+
+        geometry = sim_state.geometry
+        plasma_nh = nonhomologous_plasma_state(plasma_state, geometry)
+        macro_state = None
+        if self.line_interaction_type in ("downbranch", "macroatom"):
+            macro = (
+                atom_data.downbranch
+                if self.line_interaction_type == "downbranch"
+                else atom_data.macro_atom
+            )
+            macro_state = solve_macro_state(
+                macro,
+                plasma_nh.beta_sobolev,
+                plasma_nh.j_blues,
+                plasma_nh.stimulated_emission_factor,
+            )
+
+        tables, static = build_nonhom_tables(
+            geometry,
+            plasma_nh,
+            atom_data,
+            line_interaction_type=self.line_interaction_type,
+            macro_state=macro_state,
+            disable_electron_scattering=self.disable_electron_scattering,
+        )
+        if self.disable_line_scattering:
+            static = static._replace(disable_line_scattering=True)
+        if self.track_last_interaction:
+            static = static._replace(track_last_interaction=True)
+        if self.track_rpacket_length > 0:
+            static = static._replace(
+                track_rpacket_length=self.track_rpacket_length
+            )
+        if self.inner_boundary_albedo > 0.0:
+            static = static._replace(
+                inner_boundary_albedo=float(self.inner_boundary_albedo)
+            )
+
+        base_key = jax.random.key(np.uint32(seed))
+        src_key = jax.random.fold_in(base_key, 2 * iteration)
+        run_key = jax.random.fold_in(base_key, 2 * iteration + 1)
+        pool_mu, pool_nu_cmf = sample_blackbody_packets(
+            src_key, n_packets, sim_state.t_inner
+        )
+        carry = run_nonhom_transport(
+            tables,
+            static,
+            pool_mu,
+            pool_nu_cmf,
+            run_key,
+            n_packets=n_packets,
+            batch_size=min(self.batch_size, n_packets),
+        )
+        return self._finalize(
+            carry, sim_state, atom_data, n_packets, full_relativity=False
+        )
+
+
 def reconstruct_continuum_estimators(
     carry, atom_data, sim_state, n_packets, time_of_simulation
 ):

@@ -123,9 +123,10 @@ def build_predicate_tables(
     c_pad = np.full((S, t0 * TILE), np.inf, np.float64)
     c_pad[:, :L] = cum_f64[:, 1:]
     hi = c_pad.astype(np.float32)
-    lo = np.where(
-        np.isfinite(c_pad), (c_pad - hi.astype(np.float64)), 0.0
-    ).astype(np.float32)
+    with np.errstate(invalid="ignore"):  # inf - inf in the padding tail
+        lo = np.where(
+            np.isfinite(c_pad), (c_pad - hi.astype(np.float64)), 0.0
+        ).astype(np.float32)
     nu_pad = np.full(t0 * TILE, -np.inf, np.float32)
     nu_pad[:L] = line_nu
 
