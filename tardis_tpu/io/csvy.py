@@ -80,19 +80,32 @@ def simulation_state_from_csvy(
     time_0 = parse_quantity(header.get("model_density_time_0", t_exp))
     density = density_after_time(density_0, time_0, t_exp)
 
-    # abundances: all element-symbol columns; values at shells (drop first)
+    # abundances: element-symbol columns + isotope columns (e.g. Ni56);
+    # isotopes are decayed from model_isotope_time_0 to time_explosion and
+    # folded into the elemental table (reference model/matter/decay.py)
+    from tardis_tpu.model.decay import fold_isotopes_into_elements, parse_isotope
+
     elements, fractions = [], []
+    isotopes = {}
     for col in data.columns:
-        if col in ("velocity", "density"):
+        if col in ("velocity", "density", "t_electron", "t_rad",
+                   "dilution_factor"):
             continue
         z = SYMBOL_TO_Z.get(col)
-        if z is None:
-            continue
-        elements.append(z)
-        fractions.append(data[col].to_numpy(np.float64)[1:])
-    order = np.argsort(elements)
-    elements = np.asarray(elements)[order]
-    mass_fractions = np.stack([fractions[i] for i in order])
+        if z is not None:
+            elements.append(z)
+            fractions.append(data[col].to_numpy(np.float64)[1:])
+        elif parse_isotope(col) is not None:
+            isotopes[col] = data[col].to_numpy(np.float64)[1:]
+    if isotopes:
+        iso_t0 = parse_quantity(header.get("model_isotope_time_0", 0.0))
+        elements, mass_fractions = fold_isotopes_into_elements(
+            elements, fractions, isotopes, max(t_exp - iso_t0, 0.0)
+        )
+    else:
+        order = np.argsort(elements)
+        elements = np.asarray(elements)[order]
+        mass_fractions = np.stack([fractions[i] for i in order])
     norm = mass_fractions.sum(axis=0)
     mass_fractions = mass_fractions / np.where(norm > 0, norm, 1.0)
 
@@ -115,6 +128,13 @@ def simulation_state_from_csvy(
         lambda_wien_inner
         * (1.0 + (geometry.v_middle - geometry.v_inner[0]) / C)
     )
+    dilution = geometry.geometric_dilution_factor()
+    # optional tabulated initial radiation field (reference csvy schema
+    # fields t_rad / dilution_factor, io/model/parse_radiation_field_*)
+    if "t_rad" in data:
+        t_radiative = data["t_rad"].to_numpy(np.float64)[1:]  # Kelvin
+    if "dilution_factor" in data:
+        dilution = data["dilution_factor"].to_numpy(np.float64)[1:]
     return SimulationState(
         geometry=geometry,
         composition=composition,
@@ -122,5 +142,5 @@ def simulation_state_from_csvy(
         luminosity_requested=L,
         t_inner=t_inner,
         t_radiative=t_radiative,
-        dilution_factor=geometry.geometric_dilution_factor(),
+        dilution_factor=dilution,
     )

@@ -119,3 +119,397 @@ def simulation_state_from_artis(
         t_radiative=t_radiative,
         dilution_factor=geometry.geometric_dilution_factor(),
     )
+
+
+# ---------------------------------------------------------------------------
+# shared state assembly
+
+
+def _assemble_state(geometry, elements, mass_fractions, density, config,
+                    t_radiative=None):
+    """(elements, fractions, density) + config -> SimulationState."""
+    from tardis_tpu.constants import B_WIEN, C, SIGMA_SB
+
+    mass_fractions = np.asarray(mass_fractions, dtype=np.float64)
+    norm = mass_fractions.sum(axis=0)
+    mass_fractions = mass_fractions / np.where(norm > 0, norm, 1.0)
+    L = config.supernova.luminosity_requested
+    r0 = geometry.r_inner[0]
+    t_inner = float((L / (4.0 * np.pi * r0**2 * SIGMA_SB)) ** 0.25)
+    if t_radiative is None:
+        t_radiative = B_WIEN / (
+            (B_WIEN / t_inner)
+            * (1.0 + (geometry.v_middle - geometry.v_inner[0]) / C)
+        )
+    return SimulationState(
+        geometry=geometry,
+        composition=Composition(
+            atomic_numbers=np.asarray(elements),
+            mass_fractions=mass_fractions,
+            density=np.asarray(density, dtype=np.float64),
+        ),
+        time_explosion=geometry.time_explosion,
+        luminosity_requested=L,
+        t_inner=t_inner,
+        t_radiative=np.asarray(t_radiative, dtype=np.float64),
+        dilution_factor=geometry.geometric_dilution_factor(),
+    )
+
+
+def _split_element_isotope_columns(names):
+    """Column names -> (element columns {name: Z}, isotope columns [name])."""
+    from tardis_tpu.model.decay import parse_isotope
+
+    elem, iso = {}, []
+    for name in names:
+        z = SYMBOL_TO_Z.get(name)
+        if z is not None:
+            elem[name] = z
+        elif parse_isotope(name) is not None:
+            iso.append(name)
+    return elem, iso
+
+
+# ---------------------------------------------------------------------------
+# CMFGEN
+
+
+def read_cmfgen_model(path: str):
+    """CMFGEN export: 't0: X day' header, then an Index-led whitespace table
+    with a units row (reference io/model/readers/cmfgen.py:23-75).
+
+    Returns (t0_seconds, columns, units, data (rows, cols))."""
+    with open(path) as fh:
+        lines = fh.read().splitlines()
+    m = re.match(r"t0:\s+([\d.eE+-]+)\s+day", lines[0].strip())
+    if m is None:
+        raise ValueError("CMFGEN model must start with 't0: <value> day'")
+    t0 = float(m.group(1)) * 86400.0
+    if "Index" not in lines[1]:
+        raise ValueError(
+            '"Index" is required in the CMFGEN input file to infer columns'
+        )
+    columns = lines[1].split()[1:]
+    units = lines[2].split()[1:]
+    data = np.array(
+        [[float(x) for x in ln.split()[1:]] for ln in lines[3:] if ln.strip()]
+    )
+    return t0, columns, units, data
+
+
+def simulation_state_from_cmfgen(path: str, config) -> SimulationState:
+    """CMFGEN model file -> SimulationState.
+
+    Columns: velocity [km/s], temperature [K], densities [g/cm^3],
+    electron_densities, then element/isotope mass fractions; isotopes are
+    decayed from t0 to time_explosion.
+    """
+    from tardis_tpu.model.decay import fold_isotopes_into_elements
+
+    t0, columns, units, data = read_cmfgen_model(path)
+    col = {name: data[:, i] for i, name in enumerate(columns)}
+    t_exp = config.supernova.time_explosion
+
+    velocity = col["velocity"] * 1e5  # km/s -> cm/s (unit row fixed format)
+    geometry = Radial1DGeometry.from_velocity_grid(velocity, t_exp)
+    density_0 = col["densities"][1:]
+    density = density_after_time(density_0, t0, t_exp)
+
+    elem_cols, iso_cols = _split_element_isotope_columns(columns)
+    elements = list(elem_cols.values())
+    fractions = [col[name][1:] for name in elem_cols]
+    if iso_cols:
+        elements, mass_fractions = fold_isotopes_into_elements(
+            elements, fractions,
+            {name: col[name][1:] for name in iso_cols},
+            max(t_exp - t0, 0.0),
+        )
+    else:
+        order = np.argsort(elements)
+        elements = np.asarray(elements)[order]
+        mass_fractions = np.stack([fractions[i] for i in order])
+
+    t_rad = col["temperature"][1:] if "temperature" in col else None
+    state = _assemble_state(
+        geometry, elements, mass_fractions, density, config,
+        t_radiative=t_rad,
+    )
+    if "electron_densities" in col:
+        state.extra["electron_densities"] = col["electron_densities"][1:]
+    return state
+
+
+# ---------------------------------------------------------------------------
+# Blondin toy model
+
+
+def read_blondin_toymodel(path: str):
+    """Blondin toy-model format: 'tend = X DAYS' header + '#idx'-led table
+    (reference io/model/readers/blondin_toymodel.py:14-123).
+
+    Returns (t0_seconds, columns, data)."""
+    with open(path) as fh:
+        content = fh.read()
+    m = re.search(r"tend\s*=\s*([\d.eE+-]+)", content)
+    if m is None:
+        raise ValueError("Blondin toymodel must contain 'tend = <days>'")
+    t0 = float(m.group(1)) * 86400.0
+    header_line = None
+    for ln in content.splitlines():
+        if ln.startswith("#idx"):
+            header_line = ln
+            break
+    if header_line is None:
+        raise ValueError("Blondin toymodel must contain a '#idx' header")
+    columns = [re.sub(r"\[.+?\]", "", tok) for tok in header_line[1:].split()]
+    rows = []
+    for ln in content.splitlines():
+        if ln.startswith("#") or not ln.strip():
+            continue
+        try:
+            rows.append([float(x) for x in ln.split()])
+        except ValueError:
+            continue
+    data = np.asarray(rows)
+    return t0, columns, data
+
+
+def simulation_state_from_blondin(path: str, config) -> SimulationState:
+    """Blondin toymodel -> SimulationState (vel/dens/temp + X_* fractions;
+    cell-centre velocities are converted to outer edges as the reference
+    does, blondin_toymodel.py:84-92)."""
+    from tardis_tpu.model.decay import fold_isotopes_into_elements
+
+    t0, columns, data = read_blondin_toymodel(path)
+    col = {name: data[:, i] for i, name in enumerate(columns)}
+    t_exp = config.supernova.time_explosion
+
+    v_center = col["vel"] * 1e5 if col["vel"].max() < 1e7 else col["vel"]
+    v_outer = 0.5 * (v_center[:-1] + v_center[1:])
+    v_outer = np.concatenate(
+        [v_outer, [2.0 * v_outer[-1] - v_outer[-2]]]
+    )
+    v_inner0 = max(2.0 * v_center[0] - v_outer[0], 0.5 * v_outer[0])
+    edges = np.concatenate([[v_inner0], v_outer])
+    geometry = Radial1DGeometry.from_velocity_grid(edges, t_exp)
+    density = density_after_time(col["dens"], t0, t_exp)
+
+    elements, fractions = [], []
+    isotopes = {}
+    for name in columns:
+        if not name.startswith("X_"):
+            continue
+        label = name[2:]
+        # Blondin labels isotopes as 56Ni0 / 56Ni etc.
+        m_iso = re.match(r"^(\d+)([A-Z][a-z]?)0?$", label)
+        if m_iso:
+            isotopes[f"{m_iso.group(2)}{m_iso.group(1)}"] = col[name]
+        elif label in SYMBOL_TO_Z:
+            elements.append(SYMBOL_TO_Z[label])
+            fractions.append(col[name])
+    if isotopes:
+        elements, mass_fractions = fold_isotopes_into_elements(
+            elements, fractions, isotopes, max(t_exp - t0, 0.0)
+        )
+    else:
+        order = np.argsort(elements)
+        elements = np.asarray(elements)[order]
+        mass_fractions = np.stack([fractions[i] for i in order])
+    t_rad = col.get("temp")
+    return _assemble_state(
+        geometry, elements, mass_fractions, density, config,
+        t_radiative=t_rad,
+    )
+
+
+# ---------------------------------------------------------------------------
+# SNEC
+
+
+def read_snec_xg(path: str):
+    """SNEC .xg profile file: repeated '"Time = <t>' blocks each followed by
+    a whitespace table (reference io/model/snec/xg_files.py).
+
+    Returns (timestamps (T,) seconds, blocks list of (rows, cols) arrays)."""
+    timestamps = []
+    blocks = []
+    current = None
+    with open(path) as fh:
+        for ln in fh:
+            s = ln.strip()
+            if s.startswith('"Time') or s.startswith("Time"):
+                m = re.search(r"=\s*([\d.eE+-]+)", s)
+                timestamps.append(float(m.group(1)))
+                current = []
+                blocks.append(current)
+            elif s and current is not None:
+                current.append([float(x) for x in s.split()])
+    return (
+        np.asarray(timestamps),
+        [np.asarray(b) for b in blocks if b],
+    )
+
+
+def simulation_state_from_snec(
+    xg_path: str,
+    config,
+    columns=("radius", "velocity", "density", "temperature"),
+    composition=None,
+    snapshot_time: float | None = None,
+) -> SimulationState:
+    """SNEC hydro profile -> SimulationState.
+
+    Picks the snapshot nearest ``snapshot_time`` (default: time_explosion),
+    maps radius to homologous velocity edges via r/t, and takes uniform or
+    per-shell ``composition`` ({'Si': array|float, ...}).
+    """
+    t_exp = config.supernova.time_explosion
+    times, blocks = read_snec_xg(xg_path)
+    target = t_exp if snapshot_time is None else snapshot_time
+    i_snap = int(np.argmin(np.abs(times - target)))
+    blk = blocks[i_snap]
+    col = {name: blk[:, i] for i, name in enumerate(columns)}
+
+    v = col["velocity"]
+    # enforce monotone positive outflow for the radial grid
+    keep = np.concatenate([[True], np.diff(col["radius"]) > 0])
+    v = np.maximum.accumulate(np.abs(v[keep]))
+    v = np.where(np.diff(np.concatenate([[0.0], v])) <= 0,
+                 v + np.arange(len(v)) * 1e-6 * max(v.max(), 1.0), v)
+    geometry = Radial1DGeometry.from_velocity_grid(v, t_exp)
+    rho = col["density"][keep][1:]
+    density = density_after_time(rho, times[i_snap], t_exp)
+    t_rad = (
+        col["temperature"][keep][1:] if "temperature" in col else None
+    )
+
+    S = geometry.no_of_shells
+    composition = composition or {"H": 0.7, "He": 0.3}
+    elements, fractions = [], []
+    for sym, val in composition.items():
+        elements.append(SYMBOL_TO_Z[sym])
+        arr = np.asarray(val, dtype=np.float64)
+        fractions.append(np.full(S, float(arr)) if arr.ndim == 0 else arr)
+    order = np.argsort(elements)
+    elements = np.asarray(elements)[order]
+    mass_fractions = np.stack([fractions[i] for i in order])
+    return _assemble_state(
+        geometry, elements, mass_fractions, density, config,
+        t_radiative=t_rad,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Arepo (3-D SPH/moving-mesh snapshot -> 1-D profile)
+
+
+def arepo_cone_profile(
+    position,  # (3, N) cm, explosion-centred
+    velocity,  # (3, N) cm/s
+    density,  # (N,) g/cm^3
+    mass,  # (N,) g
+    xnuc,  # dict: species -> (N,) mass fraction
+    opening_angle: float = 20.0,
+    direction: str = "+x",
+    inner_radius: float | None = None,
+    outer_radius: float | None = None,
+):
+    """Cone-selected radial profile from a 3-D snapshot.
+
+    Mirrors the reference's ``create_cone_profile``
+    (io/model/arepo/utils.py:18-210): select cells inside a cone of the
+    given total opening angle around the +/-x axis, sort by radius, return
+    (radius, |v|, rho, mass, xnuc-profiles) arrays.
+    """
+    pos = np.asarray(position, dtype=np.float64)
+    vel = np.asarray(velocity, dtype=np.float64)
+    axis = 0
+    sign = 1.0 if direction.endswith("x") and not direction.startswith("-") \
+        else -1.0
+    ax = pos[axis] * sign
+    perp = np.sqrt(
+        pos[(axis + 1) % 3] ** 2 + pos[(axis + 2) % 3] ** 2
+    )
+    dist = np.tan(np.radians(opening_angle) / 2.0) * np.abs(ax)
+    mask = (ax > 0) & (perp <= dist)
+    r = np.sqrt((pos**2).sum(axis=0))[mask]
+    vmag = np.sqrt((vel**2).sum(axis=0))[mask]
+    rho = np.asarray(density, dtype=np.float64)[mask]
+    mss = np.asarray(mass, dtype=np.float64)[mask]
+    xn = {k: np.asarray(v, dtype=np.float64)[mask] for k, v in xnuc.items()}
+    if inner_radius is not None:
+        keep = r >= inner_radius
+        r, vmag, rho, mss = r[keep], vmag[keep], rho[keep], mss[keep]
+        xn = {k: v[keep] for k, v in xn.items()}
+    if outer_radius is not None:
+        keep = r <= outer_radius
+        r, vmag, rho, mss = r[keep], vmag[keep], rho[keep], mss[keep]
+        xn = {k: v[keep] for k, v in xn.items()}
+    if len(r) == 0:
+        raise ValueError("no cells remain inside the cone/radius cuts")
+    order = np.argsort(r)
+    return (
+        r[order], vmag[order], rho[order], mss[order],
+        {k: v[order] for k, v in xn.items()},
+    )
+
+
+def rebin_arepo_profile(r, v, rho, mass, xnuc, n_shells: int):
+    """Rebin a sorted cone profile onto ``n_shells`` equal-cell-count radial
+    shells with mass-weighted averages (reference rebin_profile,
+    io/model/arepo/utils.py:375-470)."""
+    edges_idx = np.linspace(0, len(r), n_shells + 1).astype(int)
+    v_out = np.empty(n_shells)
+    rho_out = np.empty(n_shells)
+    xn_out = {k: np.empty(n_shells) for k in xnuc}
+    for s in range(n_shells):
+        a, b = edges_idx[s], max(edges_idx[s + 1], edges_idx[s] + 1)
+        w = mass[a:b]
+        wt = w.sum()
+        v_out[s] = (v[a:b] * w).sum() / wt
+        rho_out[s] = rho[a:b].mean()
+        for k in xnuc:
+            xn_out[k][s] = (xnuc[k][a:b] * w).sum() / wt
+    v_out = np.maximum.accumulate(v_out)
+    return v_out, rho_out, xn_out
+
+
+def simulation_state_from_arepo(
+    position, velocity, density, mass, xnuc, snapshot_time: float,
+    config, n_shells: int = 20, opening_angle: float = 20.0,
+    inner_radius=None, outer_radius=None,
+) -> SimulationState:
+    """3-D Arepo-style snapshot arrays -> 1-D SimulationState.
+
+    ``xnuc`` keys may be element symbols or isotope labels ('Ni56');
+    isotopes are decayed from snapshot_time to time_explosion.
+    """
+    from tardis_tpu.model.decay import fold_isotopes_into_elements
+
+    t_exp = config.supernova.time_explosion
+    prof = arepo_cone_profile(
+        position, velocity, density, mass, xnuc,
+        opening_angle=opening_angle,
+        inner_radius=inner_radius, outer_radius=outer_radius,
+    )
+    v_sh, rho_sh, xn_sh = rebin_arepo_profile(*prof, n_shells=n_shells)
+    v_inner0 = max(v_sh[0] - (v_sh[1] - v_sh[0]), 0.5 * v_sh[0])
+    edges = np.concatenate([[v_inner0], v_sh])
+    geometry = Radial1DGeometry.from_velocity_grid(edges, t_exp)
+    density_now = density_after_time(rho_sh, snapshot_time, t_exp)
+
+    elem_cols, iso_cols = _split_element_isotope_columns(xn_sh.keys())
+    elements = list(elem_cols.values())
+    fractions = [xn_sh[name] for name in elem_cols]
+    if iso_cols:
+        elements, mass_fractions = fold_isotopes_into_elements(
+            elements, fractions, {k: xn_sh[k] for k in iso_cols},
+            max(t_exp - snapshot_time, 0.0),
+        )
+    else:
+        order = np.argsort(elements)
+        elements = np.asarray(elements)[order]
+        mass_fractions = np.stack([fractions[i] for i in order])
+    return _assemble_state(
+        geometry, elements, mass_fractions, density_now, config
+    )

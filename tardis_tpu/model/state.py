@@ -66,7 +66,16 @@ class SimulationState:
         (/root/reference/tardis/io/model/parse_simulation_state.py:9) for the
         'specific' structure type with uniform abundances.
         """
+        # top-level csvy_model key (reference SimulationState.from_csvy,
+        # model/base.py:322) or structure.type 'file' with a filetype
+        # (reference parse_geometry_configuration.py) dispatch to readers
+        if config.get("csvy_model"):
+            from tardis_tpu.io.csvy import simulation_state_from_csvy
+
+            return simulation_state_from_csvy(config.csvy_model, config)
         structure = config.model.structure
+        if structure.get("type") == "file":
+            return cls._from_file_structure(structure, config)
         vel = structure.velocity
         edges = np.linspace(vel.start, vel.stop, vel.num + 1)
         geometry = Radial1DGeometry.from_velocity_grid(
@@ -136,6 +145,44 @@ class SimulationState:
             t_radiative=t_radiative,
             dilution_factor=dilution_factor,
         )
+
+    @classmethod
+    def _from_file_structure(cls, structure, config) -> "SimulationState":
+        """structure: {type: file, filename, filetype} dispatch
+        (reference io/model/parse_geometry_configuration.py + readers/)."""
+        filetype = structure.get("filetype", "csvy")
+        filename = structure.filename
+        if filetype == "csvy":
+            from tardis_tpu.io.csvy import simulation_state_from_csvy
+
+            return simulation_state_from_csvy(filename, config)
+        if filetype in ("artis", "simple_ascii"):
+            from tardis_tpu.io.model_readers import (
+                simulation_state_from_artis,
+            )
+
+            abund = config.model.abundances
+            if abund.get("type") != "file":
+                raise ValueError(
+                    f"{filetype} density files require a file-type "
+                    "abundances section"
+                )
+            return simulation_state_from_artis(
+                filename, abund.filename, config
+            )
+        if filetype in ("cmfgen", "cmfgen_model"):
+            from tardis_tpu.io.model_readers import (
+                simulation_state_from_cmfgen,
+            )
+
+            return simulation_state_from_cmfgen(filename, config)
+        if filetype == "blondin_toymodel":
+            from tardis_tpu.io.model_readers import (
+                simulation_state_from_blondin,
+            )
+
+            return simulation_state_from_blondin(filename, config)
+        raise ValueError(f"unknown model filetype {filetype!r}")
 
     def t_inner_from_luminosity(self, emitted_luminosity: float, exponent=-0.5):
         """Updated t_inner estimate from the emitted/requested luminosity ratio

@@ -1,0 +1,238 @@
+"""Model-reader and isotope-decay validation (CSVY, CMFGEN, Blondin, SNEC,
+Arepo; reference io/model/readers/* and model/matter/decay.py)."""
+
+import numpy as np
+import pytest
+
+from tardis_tpu.config.reader import config_from_dict
+from tardis_tpu.model.decay import (
+    LN2,
+    _HALF_LIVES,
+    decay_fractions,
+    decay_isotopic_mass_fractions,
+)
+
+BASE_CONFIG = {
+    "supernova": {
+        "luminosity_requested": "9.44 log_lsun",
+        "time_explosion": "13 day",
+    },
+    "model": {
+        "structure": {
+            "type": "specific",
+            "velocity": {"start": "1.1e4 km/s", "stop": "2e4 km/s",
+                         "num": 20},
+            "density": {"type": "branch85_w7"},
+        },
+        "abundances": {"type": "uniform", "Si": 1.0},
+    },
+    "plasma": {},
+    "montecarlo": {"seed": 1, "no_of_packets": 100, "iterations": 1},
+    "spectrum": {"start": "500 angstrom", "stop": "20000 angstrom",
+                 "num": 20},
+}
+
+
+@pytest.fixture
+def config():
+    return config_from_dict(BASE_CONFIG)
+
+
+# ---------------------------------------------------------------- decay
+
+
+def test_ni56_bateman_decay():
+    t_half_ni, _ = _HALF_LIVES["Ni56"]
+    t_half_co, _ = _HALF_LIVES["Co56"]
+    lam_ni, lam_co = LN2 / t_half_ni, LN2 / t_half_co
+    t = 2.3 * t_half_ni
+    out = decay_fractions("Ni56", t)
+    np.testing.assert_allclose(out["Ni56"], np.exp(-lam_ni * t), rtol=1e-12)
+    co_expected = (
+        lam_ni / (lam_co - lam_ni)
+        * (np.exp(-lam_ni * t) - np.exp(-lam_co * t))
+    )
+    np.testing.assert_allclose(out["Co56"], co_expected, rtol=1e-12)
+    np.testing.assert_allclose(sum(out.values()), 1.0, rtol=1e-12)
+    assert out["Fe56"] > 0
+
+
+def test_decay_to_elements_conserves_mass():
+    fr = {"Ni56": np.full(5, 0.5), "Cr48": np.full(5, 0.25)}
+    out = decay_isotopic_mass_fractions(fr, 30 * 86400.0)
+    total = sum(v.sum() for v in out.values())
+    np.testing.assert_allclose(total, 5 * 0.75, rtol=1e-10)
+    # after 30 days most Ni56 (t1/2=6d) has left nickel
+    assert out[28].max() < 0.05
+    assert 27 in out and 26 in out  # Co56, Fe56
+    assert 22 in out  # Ti48 end of the Cr48 chain
+
+
+# ---------------------------------------------------------------- CSVY
+
+
+def test_csvy_with_isotopes_and_radiation_field(tmp_path, config):
+    from tardis_tpu.io.csvy import simulation_state_from_csvy
+
+    csvy = tmp_path / "model.csvy"
+    rows = ["velocity,density,Si,Ni56,t_rad,dilution_factor"]
+    v = np.linspace(1.0e4, 2.0e4, 6)
+    for i, vi in enumerate(v):
+        rows.append(f"{vi},1e-13,0.6,0.4,{9000 + 100 * i},0.4")
+    csvy.write_text(
+        "---\n"
+        "name: iso_model\n"
+        "model_density_time_0: 1 day\n"
+        "model_isotope_time_0: 0 day\n"
+        "datatype:\n"
+        "  fields:\n"
+        "    - {name: velocity, unit: km/s}\n"
+        "    - {name: density, unit: g/cm^3}\n"
+        "    - {name: Si}\n"
+        "    - {name: Ni56}\n"
+        "    - {name: t_rad, unit: K}\n"
+        "    - {name: dilution_factor}\n"
+        "---\n" + "\n".join(rows) + "\n"
+    )
+    state = simulation_state_from_csvy(str(csvy), config)
+    assert state.no_of_shells == 5
+    zs = list(state.composition.atomic_numbers)
+    assert 14 in zs  # Si
+    assert 28 in zs and 27 in zs and 26 in zs  # Ni/Co/Fe decay products
+    np.testing.assert_allclose(
+        state.composition.mass_fractions.sum(axis=0), 1.0, rtol=1e-10
+    )
+    # at 13 days, ~77% of the Ni56 has decayed (t1/2 = 6.075 d)
+    i_ni = zs.index(28)
+    assert 0.05 < state.composition.mass_fractions[i_ni, 0] < 0.12
+    np.testing.assert_allclose(
+        state.t_radiative, 9000 + 100 * np.arange(1, 6)
+    )
+    np.testing.assert_allclose(state.dilution_factor, 0.4)
+
+
+# ---------------------------------------------------------------- CMFGEN
+
+
+def test_cmfgen_reader(tmp_path, config):
+    from tardis_tpu.io.model_readers import simulation_state_from_cmfgen
+
+    f = tmp_path / "cmfgen.csv"
+    lines = [
+        "t0: 0.976 day",
+        "Index velocity temperature densities electron_densities Si Ni56",
+        "- km/s K g/cm^3 /cm^3 1 1",
+    ]
+    v = np.linspace(871.0, 1200.0, 6)
+    for i, vi in enumerate(v):
+        lines.append(
+            f"{i} {vi} {76000 - 1000 * i} 4.25e-09 2.6e14 0.6 0.4"
+        )
+    f.write_text("\n".join(lines) + "\n")
+    state = simulation_state_from_cmfgen(str(f), config)
+    assert state.no_of_shells == 5
+    np.testing.assert_allclose(
+        state.geometry.v_inner[0], 871.0e5, rtol=1e-10
+    )
+    # density rescaled rho ~ t^-3 from t0=0.976 d to t_exp=13 d
+    assert state.composition.density[0] < 4.25e-9
+    zs = list(state.composition.atomic_numbers)
+    assert 14 in zs and 26 in zs
+    np.testing.assert_allclose(state.t_radiative[0], 75000.0)
+    assert "electron_densities" in state.extra
+
+
+# ---------------------------------------------------------------- Blondin
+
+
+def test_blondin_reader(tmp_path, config):
+    from tardis_tpu.io.model_readers import simulation_state_from_blondin
+
+    f = tmp_path / "snia_toy.dat"
+    hdr = (
+        "# Blondin toy model\n"
+        "# tend = 1.0 DAYS\n"
+        "#idx vel[km/s] dens[g/cm^3] temp[K] X_56Ni0 X_Si X_O\n"
+    )
+    rows = []
+    v = np.linspace(5e3, 2.2e4, 8)
+    for i, vi in enumerate(v):
+        rows.append(f"{i} {vi} {1e-13} {9500} 0.5 0.3 0.2")
+    f.write_text(hdr + "\n".join(rows) + "\n")
+    state = simulation_state_from_blondin(str(f), config)
+    assert state.no_of_shells == 8
+    zs = list(state.composition.atomic_numbers)
+    assert 8 in zs and 14 in zs and 27 in zs  # O, Si, Co56 daughter
+    np.testing.assert_allclose(
+        state.composition.mass_fractions.sum(axis=0), 1.0, rtol=1e-10
+    )
+    np.testing.assert_allclose(state.t_radiative, 9500.0)
+
+
+# ---------------------------------------------------------------- SNEC
+
+
+def test_snec_xg_reader(tmp_path, config):
+    from tardis_tpu.io.model_readers import (
+        read_snec_xg,
+        simulation_state_from_snec,
+    )
+
+    f = tmp_path / "rho.xg"
+    blocks = []
+    for t in (1e5, 5e5, 1.1e6):
+        rows = []
+        for i in range(6):
+            radius = 1e14 * (i + 1)
+            vel = 2e8 * (i + 1)
+            rows.append(f"{radius} {vel} {1e-12 / (i + 1)} {8000 - 300 * i}")
+        blocks.append(f' "Time = {t}\n' + "\n".join(rows))
+    f.write_text("\n\n".join(blocks) + "\n")
+    times, data = read_snec_xg(str(f))
+    assert len(times) == 3 and len(data) == 3
+    assert data[0].shape == (6, 4)
+    state = simulation_state_from_snec(
+        str(f), config, composition={"H": 0.7, "He": 0.3},
+        snapshot_time=1.1e6,
+    )
+    assert state.no_of_shells == 5
+    assert np.isfinite(state.composition.density).all()
+    np.testing.assert_allclose(
+        state.composition.mass_fractions.sum(axis=0), 1.0, rtol=1e-10
+    )
+
+
+# ---------------------------------------------------------------- Arepo
+
+
+def test_arepo_cone_mapping(config):
+    from tardis_tpu.io.model_readers import simulation_state_from_arepo
+
+    rng = np.random.default_rng(5)
+    N = 40000
+    pos = rng.normal(size=(3, N)) * 3e13
+    r = np.sqrt((pos**2).sum(axis=0))
+    # homologous-ish explosion: v = r / t_snap
+    t_snap = 100.0
+    vel = pos / t_snap
+    rho = 1e-9 * np.exp(-r / 5e13)
+    mass = rho * (4e12) ** 3
+    ni = np.clip(1.0 - r / 8e13, 0.0, 1.0)
+    xnuc = {"Ni56": ni, "Si": 1.0 - ni}
+    state = simulation_state_from_arepo(
+        pos, vel, rho, mass, xnuc, snapshot_time=t_snap, config=config,
+        n_shells=10,
+    )
+    assert state.no_of_shells == 10
+    assert np.all(np.diff(state.geometry.v_inner) > 0)
+    np.testing.assert_allclose(
+        state.composition.mass_fractions.sum(axis=0), 1.0, rtol=1e-10
+    )
+    zs = list(state.composition.atomic_numbers)
+    assert 14 in zs and 28 in zs and 26 in zs
+    # Ni-rich core: inner shells have more iron-group than outer
+    i_fe = zs.index(26)
+    assert (
+        state.composition.mass_fractions[i_fe, 0]
+        > state.composition.mass_fractions[i_fe, -1]
+    )
