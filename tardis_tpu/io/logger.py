@@ -1,0 +1,116 @@
+"""Logging subsystem.
+
+Counterpart of the reference's ``TARDISLogger`` stack
+(/root/reference/tardis/io/logger/logger.py:18-260 and colored_logger.py):
+configurable log level, optional *specific*-level filtering (show ONLY the
+requested level rather than level-and-above), colored console output, and
+the ``debug/log_level`` config wiring used by ``run_tardis``.
+
+Jupyter widget panels are intentionally not reproduced — on the
+terminal-first TPU stack the colored stream handler plays that role.
+"""
+
+from __future__ import annotations
+
+import logging
+import sys
+
+LOG_LEVELS = ("NOTSET", "DEBUG", "INFO", "WARNING", "ERROR", "CRITICAL")
+DEFAULT_LOG_LEVEL = "INFO"
+
+_COLORS = {
+    logging.DEBUG: "\x1b[36m",  # cyan
+    logging.INFO: "\x1b[32m",  # green
+    logging.WARNING: "\x1b[33m",  # yellow
+    logging.ERROR: "\x1b[31m",  # red
+    logging.CRITICAL: "\x1b[1;31m",  # bold red
+}
+_RESET = "\x1b[0m"
+
+
+class ColoredFormatter(logging.Formatter):
+    """Level-colored console formatter (reference colored_logger.py)."""
+
+    def __init__(self, use_color: bool | None = None):
+        super().__init__(
+            "[%(name)s][%(levelname)s%(reset)s ] %(message)s "
+            "(%(filename)s:%(lineno)d)"
+        )
+        if use_color is None:
+            use_color = sys.stderr.isatty()
+        self.use_color = use_color
+
+    def format(self, record):
+        if self.use_color:
+            color = _COLORS.get(record.levelno, "")
+            record.levelname = f"{color}{record.levelname}"
+            record.reset = _RESET
+        else:
+            record.reset = ""
+        return super().format(record)
+
+
+class LogFilter(logging.Filter):
+    """Keep only records whose level is in ``log_levels``
+    (reference io/logger/logger.py LogFilter)."""
+
+    def __init__(self, log_levels):
+        super().__init__()
+        self.log_levels = log_levels
+
+    def filter(self, record):
+        return record.levelno in self.log_levels
+
+
+class TARDISLogger:
+    """Configures the 'tardis_tpu' logger tree
+    (reference io/logger/logger.py:55-226 minus widget handlers)."""
+
+    def __init__(self, name: str = "tardis_tpu"):
+        self.logger = logging.getLogger(name)
+        self._handler = None
+
+    def configure_logging(
+        self, log_level: str, config=None, specific_log_level: bool = False
+    ):
+        # config debug section wins over the argument (reference behavior:
+        # logging_state resolves debug.log_level vs the function arg)
+        if config is not None:
+            debug = (
+                config.get("debug", {}) if hasattr(config, "get") else {}
+            )
+            cfg_level = (debug or {}).get("log_level")
+            if cfg_level and not log_level:
+                log_level = cfg_level
+            if (debug or {}).get("specific_log_level") is not None:
+                specific_log_level = bool(debug["specific_log_level"])
+        log_level = (log_level or DEFAULT_LOG_LEVEL).upper()
+        if log_level not in LOG_LEVELS:
+            raise ValueError(
+                f"log_level must be one of {LOG_LEVELS}, got {log_level!r}"
+            )
+        numeric = getattr(logging, log_level) if log_level != "NOTSET" else 0
+
+        root = self.logger
+        if self._handler is not None:
+            root.removeHandler(self._handler)
+        handler = logging.StreamHandler()
+        handler.setFormatter(ColoredFormatter())
+        root.addHandler(handler)
+        root.setLevel(numeric if numeric else logging.NOTSET)
+        root.propagate = False
+        self._handler = handler
+
+        for f in list(handler.filters):
+            handler.removeFilter(f)
+        if specific_log_level and numeric:
+            handler.addFilter(LogFilter([numeric]))
+        return self
+
+
+def logging_state(log_level: str | None, config=None,
+                  specific_log_level: bool = False) -> TARDISLogger:
+    """Configure framework logging (reference io/logger/logger.py:228-260)."""
+    tl = TARDISLogger()
+    tl.configure_logging(log_level or "", config, specific_log_level)
+    return tl

@@ -50,9 +50,11 @@ class PlasmaSolver:
         nlte_species: list | None = None,
         nlte_coronal_approximation: bool = False,
         nlte_classical_nebular: bool = False,
+        helium_treatment: str = "none",
     ):
         assert ionization in ("lte", "nebular")
         assert excitation in ("lte", "dilute-lte")
+        assert helium_treatment in ("none", "recomb-nlte")
         assert radiative_rates_type in (
             "blackbody",
             "dilute-blackbody",
@@ -69,6 +71,13 @@ class PlasmaSolver:
         self.nlte_species = list(nlte_species or [])
         self.nlte_coronal_approximation = nlte_coronal_approximation
         self.nlte_classical_nebular = nlte_classical_nebular
+        self.helium_treatment = helium_treatment
+        if helium_treatment != "none" and (2, 0) in [
+            tuple(s) for s in self.nlte_species
+        ]:
+            raise ValueError(
+                "helium_treatment and He in nlte_species are exclusive"
+            )
         self._last_n_e = None
 
         self._build_index_maps(simulation_state)
@@ -232,18 +241,73 @@ class PlasmaSolver:
             zeta = self._zeta(t_rad)
             phi = lte.phi_saha_nebular(phi, w, zeta, delta, t_rad, t_electrons)
 
-        ion_density, n_e, _ = lte.ion_number_density(
-            phi,
-            self.element_block_start,
-            self.number_density,
-            n_electron_init=self._last_n_e,
-            electron_densities=self._fixed_electron_densities,
-        )
+        he_override = None
+        if self.helium_treatment == "recomb-nlte" and 2 in self.element_z:
+            # helium recombination-NLTE populations participate in the n_e
+            # fixpoint (reference IonNumberDensityHeNLTE,
+            # plasma/properties/ion_population.py:395-533)
+            from tardis_tpu.plasma import helium
+
+            e_he = int(np.where(self.element_z == 2)[0][0])
+            b0 = self.element_block_start[e_he]
+            b1 = self.element_block_start[e_he + 1]
+            n_he_pairs = b1 - b0
+            chi_he1 = float(self.pair_chi[b0])
+            if n_he_pairs > 1:
+                chi_he2 = float(self.pair_chi[b0 + 1])
+                if self.ionization == "nebular":
+                    zeta22, delta22 = zeta[b0 + 1], delta[b0 + 1]
+                else:
+                    zeta22 = np.ones_like(t_rad)
+                    delta22 = np.ones_like(t_rad)
+            else:
+                chi_he2 = np.inf  # no He III channel in the atomic data
+                zeta22 = np.ones_like(t_rad)
+                delta22 = np.ones_like(t_rad)
+            rows_he, rel_he, he3_rel, stage_he = (
+                helium.helium_relative_population(
+                    atom, bf, g_el, beta, w, t_rad, t_electrons,
+                    chi_he1, chi_he2, zeta22, delta22,
+                )
+            )
+            if n_he_pairs < 2:
+                he3_rel = np.zeros_like(he3_rel)
+            ion_density, n_e, _, (he_pop, he3_pop) = (
+                helium.ion_number_density_he_nlte(
+                    phi,
+                    self.element_block_start,
+                    self.number_density,
+                    e_he,
+                    rel_he,
+                    he3_rel,
+                    stage_he,
+                    n_electron_init=self._last_n_e,
+                    electron_densities=self._fixed_electron_densities,
+                )
+            )
+            he_override = (rows_he, he_pop, he3_pop)
+        else:
+            ion_density, n_e, _ = lte.ion_number_density(
+                phi,
+                self.element_block_start,
+                self.number_density,
+                n_electron_init=self._last_n_e,
+                electron_densities=self._fixed_electron_densities,
+            )
         self._last_n_e = n_e
         ion_per_species = ion_density[self.species_ion_row]
         n_level = lte.level_number_density(
             bf, z_part, ion_per_species, atom.level_species_id
         )
+        if he_override is not None:
+            rows_he, he_pop, he3_pop = he_override
+            n_level[rows_he] = he_pop
+            he3_sp = self._species_lookup.get((2, 2))
+            if he3_sp is not None:
+                rows_he3 = np.where(atom.level_species_id == he3_sp)[0]
+                if len(rows_he3):
+                    n_level[rows_he3] = 0.0
+                    n_level[rows_he3[0]] = he3_pop
 
         n_lower = n_level[atom.line_lower_idx]
         n_upper = n_level[atom.line_upper_idx]

@@ -135,6 +135,7 @@ class Simulation:
                 "link_t_rad_t_electron", 0.9
             ),
             w_epsilon=config.plasma.get("w_epsilon", 1e-10),
+            helium_treatment=config.plasma.get("helium_treatment", "none"),
             nlte_species=[
                 __import__(
                     "tardis_tpu.plasma.nlte", fromlist=["parse_species"]
@@ -392,7 +393,8 @@ class Simulation:
         return self
 
 
-def run_tardis(config_or_path, atom_data=None, callbacks=()) -> Simulation:
+def run_tardis(config_or_path, atom_data=None, callbacks=(),
+               log_level=None, specific_log_level=False) -> Simulation:
     """Top-level API (reference tardis/base.py:10-126)."""
     from tardis_tpu.config.reader import config_from_dict, config_from_yaml
 
@@ -402,6 +404,10 @@ def run_tardis(config_or_path, atom_data=None, callbacks=()) -> Simulation:
         config = config_or_path
     else:
         config = config_from_dict(config_or_path)
+
+    from tardis_tpu.io.logger import logging_state
+
+    logging_state(log_level, config, specific_log_level)
     sim = Simulation.from_config(config, atom_data=atom_data)
     for cb in callbacks:
         sim.add_callback(cb)
