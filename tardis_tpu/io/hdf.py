@@ -3,33 +3,46 @@
 Counterpart of the reference's ``HDFWriterMixin``
 (/root/reference/tardis/io/hdf_writer_mixin.py:14-330): a recursive dump of
 the simulation tree (model state, plasma state, transport estimators,
-spectra, per-iteration history) into a pandas HDFStore, compatible in spirit
-with the reference's layout (`/simulation/simulation_state/...`).  This is
-also the checkpoint format: `load_simulation_state` restores the mutable
+spectra, per-iteration history) into an HDF5 file, with the reference's
+group layout (`/simulation/simulation_state/...`).  This is also the
+checkpoint format: `load_simulation_state` restores the mutable
 radiation-field state {t_rad, W, t_inner, iteration} for resume.
+
+Backend: ``h5py`` (pandas' HDFStore needs PyTables, which is not available
+in this environment).  Arrays are plain datasets; scalar groups are stored
+as attributes on a ``scalars`` group, so files remain readable with any
+HDF5 tool.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
+
+import h5py
 
 
-def _store_array(store, path: str, arr):
+def _store_array(f, path: str, arr):
     arr = np.asarray(arr)
-    if arr.ndim <= 1:
-        store.put(path, pd.Series(arr))
-    else:
-        store.put(path, pd.DataFrame(arr))
+    if path in f:
+        del f[path]
+    f.create_dataset(path, data=arr)
 
 
-def _store_scalars(store, path: str, scalars: dict):
-    store.put(path, pd.Series(scalars))
+def _store_scalars(f, path: str, scalars: dict):
+    grp = f.require_group(path)
+    for key, value in scalars.items():
+        grp.attrs[key] = value
+
+
+def read_scalars(path: str, group: str) -> dict:
+    """Read back a scalars group written by :func:`_store_scalars`."""
+    with h5py.File(path, "r") as f:
+        return dict(f[group].attrs)
 
 
 def simulation_to_hdf(sim, path: str, name: str = "simulation"):
     """Write a Simulation to an HDF file."""
-    with pd.HDFStore(path, "w") as store:
+    with h5py.File(path, "w") as store:
         st = sim.state
         prefix = f"/{name}"
         _store_scalars(
@@ -124,20 +137,30 @@ def simulation_to_hdf(sim, path: str, name: str = "simulation"):
                 f"{prefix}/iterations/emitted_luminosity",
                 np.array([h.emitted_luminosity for h in hist]),
             )
+            _store_array(
+                store,
+                f"{prefix}/iterations/reabsorbed_luminosity",
+                np.array([h.reabsorbed_luminosity for h in hist]),
+            )
+            _store_array(
+                store,
+                f"{prefix}/iterations/electron_densities",
+                np.stack([h.electron_densities for h in hist]),
+            )
 
 
 def load_simulation_state(path: str, name: str = "simulation") -> dict:
     """Load the checkpointed radiation-field state for resume."""
-    with pd.HDFStore(path, "r") as store:
-        scalars = store[f"/{name}/simulation_state/scalars"]
+    with h5py.File(path, "r") as store:
+        scalars = store[f"/{name}/simulation_state/scalars"].attrs
         return {
             "t_inner": float(scalars["t_inner"]),
             "t_radiative": store[
                 f"/{name}/simulation_state/t_radiative"
-            ].to_numpy(),
+            ][()],
             "dilution_factor": store[
                 f"/{name}/simulation_state/dilution_factor"
-            ].to_numpy(),
+            ][()],
             "iterations_executed": int(scalars["iterations_executed"]),
             "seed": int(scalars["seed"]),
         }

@@ -17,10 +17,37 @@ class ConvergenceSolver:
     damping_constant: float = 0.5
     threshold: float = 0.05
     fraction: float = 0.8
+    type: str = "damped"
+    # adaptive_damped search window (reference simulation/convergence.py:28-30)
+    lambda_min: float = 0.1
+    lambda_max: float = 1.0
+    lambda_step: float = 0.05
 
     def converge(self, value, estimated):
-        """Damped update: value + d * (estimated - value)."""
+        """Damped update: value + d * (estimated - value); for the
+        ``adaptive_damped`` strategy the damping constant is locally searched
+        per call (reference simulation/convergence.py:63-106)."""
+        if self.type == "adaptive_damped":
+            return self._adaptive_damped(value, estimated)
         return value + self.damping_constant * (estimated - value)
+
+    def _adaptive_damped(self, value, estimated):
+        """Pick the step among {λ, λ±Δ} ∩ [λ_min, λ_max] minimizing the mean
+        relative residual to the estimate; update λ in place."""
+        base = self.damping_constant
+        candidates = [base]
+        if base - self.lambda_step >= self.lambda_min:
+            candidates.append(base - self.lambda_step)
+        if base + self.lambda_step <= self.lambda_max:
+            candidates.append(base + self.lambda_step)
+        best = None
+        for lam in candidates:
+            x_new = value + lam * (estimated - value)
+            res = float(np.mean(np.abs((estimated - x_new) / estimated)))
+            if best is None or res < best[0]:
+                best = (res, lam, x_new)
+        self.damping_constant = best[1]
+        return best[2]
 
     def get_convergence_status(self, value, estimated, no_of_cells) -> bool:
         """True if >= `fraction` of cells changed by less than `threshold`
@@ -61,6 +88,12 @@ def make_convergence_solvers(strategy: dict):
     base_d = strategy.get("damping_constant", 1.0)
     thr = strategy.get("threshold", 0.05)
     frac = strategy.get("fraction", 0.8)
+    kind = strategy.get("type", "damped")
+    if kind not in ("damped", "adaptive_damped"):
+        raise NotImplementedError(
+            f"convergence strategy type {kind!r} (custom is not implemented "
+            "in the reference either, simulation/convergence.py:36-44)"
+        )
 
     def solver(sub):
         s = strategy.get(sub, {}) or {}
@@ -68,6 +101,7 @@ def make_convergence_solvers(strategy: dict):
             damping_constant=s.get("damping_constant", base_d),
             threshold=s.get("threshold", thr),
             fraction=frac,
+            type=kind,
         )
 
     return {

@@ -66,3 +66,57 @@ def test_grotrian_plot(sim):
     ax = plot_grotrian(sim, sp, max_levels=8)
     assert ax.get_title().startswith("Grotrian")
     assert len(ax.lines) + len(ax.collections) > 0
+
+
+def test_tardis_history_roundtrip(sim, tmp_path):
+    from tardis_tpu.analysis.history import TARDISHistory
+    from tardis_tpu.io.hdf import simulation_to_hdf
+
+    path = str(tmp_path / "hist.h5")
+    simulation_to_hdf(sim, path)
+    hist = TARDISHistory(path)
+    assert len(hist.iterations) == len(sim.history)
+    t_rads = hist.load_t_rads()
+    assert t_rads.shape == (
+        sim.state.no_of_shells, len(sim.history)
+    )
+    np.testing.assert_allclose(
+        t_rads["iter000"].to_numpy(), sim.history[0].t_radiative
+    )
+    ws = hist.load_ws(0)
+    assert ws.shape[1] == 1
+    ne = hist.load_electron_densities()
+    assert (ne.to_numpy() > 0).all()
+    t_inner = hist.load_t_inner()
+    np.testing.assert_allclose(t_inner[-1], sim.history[-1].t_inner)
+    lum = hist.load_luminosities()
+    assert {"emitted", "reabsorbed"} <= set(lum.columns)
+    ax = hist.plot_t_rads()
+    assert len(ax.lines) == len(sim.history)
+
+
+def test_checkpoint_resume_roundtrip(sim, tmp_path, atom_data_prepared):
+    import copy
+
+    from tardis_tpu.io.hdf import (
+        load_simulation_state,
+        resume_simulation,
+        simulation_to_hdf,
+    )
+
+    path = str(tmp_path / "ckpt.h5")
+    simulation_to_hdf(sim, path)
+    ckpt = load_simulation_state(path)
+    assert ckpt["iterations_executed"] == sim.iterations_executed
+
+    fresh = Simulation.from_config(
+        config_from_dict(copy.deepcopy(BASE_CONFIG)),
+        atom_data=atom_data_prepared,
+    )
+    resume_simulation(fresh, path)
+    np.testing.assert_allclose(fresh.state.t_radiative, sim.state.t_radiative)
+    np.testing.assert_allclose(
+        fresh.state.dilution_factor, sim.state.dilution_factor
+    )
+    assert fresh.state.t_inner == sim.state.t_inner
+    assert fresh.iterations_executed == sim.iterations_executed

@@ -115,3 +115,38 @@ def test_synpp_yaml_export(tmp_path):
     assert loaded["opacity"]["v_ref"] * 1e8 == pytest.approx(
         state.geometry.v_inner[0]
     )
+
+
+def test_adaptive_damped_convergence():
+    import numpy as np
+
+    from tardis_tpu.simulation.convergence import (
+        ConvergenceSolver,
+        make_convergence_solvers,
+    )
+
+    solver = ConvergenceSolver(
+        damping_constant=0.5, type="adaptive_damped"
+    )
+    value = np.array([10000.0, 11000.0])
+    estimated = np.array([12000.0, 13000.0])
+    out = solver.converge(value, estimated)
+    # best candidate is the largest step toward the estimate (lambda=0.55)
+    np.testing.assert_allclose(solver.damping_constant, 0.55)
+    np.testing.assert_allclose(
+        out, value + 0.55 * (estimated - value)
+    )
+    # repeated calls keep climbing lambda until lambda_max
+    for _ in range(20):
+        solver.converge(value, estimated)
+    assert solver.damping_constant <= solver.lambda_max + 1e-12
+
+    solvers = make_convergence_solvers(
+        {"type": "adaptive_damped", "damping_constant": 0.8}
+    )
+    assert solvers["t_rad"].type == "adaptive_damped"
+
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        make_convergence_solvers({"type": "custom"})
