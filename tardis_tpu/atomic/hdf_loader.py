@@ -17,10 +17,14 @@ EV_TO_ERG = 1.602176634e-12
 
 
 def atom_data_from_hdf(path: str) -> AtomData:
-    """Read a carsus atomic-data HDF file into the flat AtomData layout."""
-    import pandas as pd
+    """Read a carsus atomic-data HDF file into the flat AtomData layout.
 
-    with pd.HDFStore(path, "r") as store:
+    Uses pandas.HDFStore when PyTables is installed, else the h5py-based
+    decoder in :mod:`tardis_tpu.atomic.pandas_hdf`.
+    """
+    from tardis_tpu.atomic.pandas_hdf import open_store
+
+    with open_store(path) as store:
         atom_df = store["atom_data"]
         ionization = store["ionization_data"]
         levels = store["levels_data"] if "levels_data" in store else store["levels"]

@@ -1,6 +1,7 @@
 """Model-reader and isotope-decay validation (CSVY, CMFGEN, Blondin, SNEC,
 Arepo; reference io/model/readers/* and model/matter/decay.py)."""
 
+import os
 import numpy as np
 import pytest
 
@@ -236,3 +237,37 @@ def test_arepo_cone_mapping(config):
         state.composition.mass_fractions[i_fe, 0]
         > state.composition.mass_fractions[i_fe, -1]
     )
+
+
+REFERENCE_HDF = (
+    "/root/reference/tardis/transport/montecarlo/tests/data/"
+    "continuum_compare_data.hdf"
+)
+
+
+@pytest.mark.skipif(
+    not os.path.exists(REFERENCE_HDF), reason="reference data not mounted"
+)
+def test_h5py_pandas_decoder_reads_real_pandas_store():
+    """The h5py fallback must decode genuine pandas-HDFStore files
+    (PyTables is unavailable in this environment)."""
+    from tardis_tpu.atomic.pandas_hdf import (
+        H5PandasStore,
+        list_keys,
+        read_pandas_hdf,
+    )
+
+    keys = list_keys(REFERENCE_HDF)
+    assert "/ff_emissivity" in keys
+    df = read_pandas_hdf(REFERENCE_HDF, "ff_emissivity")
+    assert df.shape == (101, 4)
+    # MultiIndex columns (t_electron, quantity) survive decoding
+    assert df.columns.nlevels == 2
+    # last emissivity row is NaN in the source data (bin edges vs values)
+    assert np.isfinite(df.to_numpy(dtype=float)[:-1]).all()
+    series = read_pandas_hdf(REFERENCE_HDF, "z2rkstate_pos")
+    assert series.dtype.kind == "i"
+
+    with H5PandasStore(REFERENCE_HDF) as store:
+        assert "ff_emissivity" in store
+        assert store["z2rkstate_key"].shape[1] == 624
