@@ -120,3 +120,47 @@ def test_checkpoint_resume_roundtrip(sim, tmp_path, atom_data_prepared):
     )
     assert fresh.state.t_inner == sim.state.t_inner
     assert fresh.iterations_executed == sim.iterations_executed
+
+
+def test_custom_abundance_editor_roundtrip(sim, tmp_path):
+    from tardis_tpu.visualization.custom_abundance import (
+        CustomAbundanceEditor,
+    )
+
+    ed = CustomAbundanceEditor.from_simulation(sim)
+    n = ed.n_shells
+    assert n == sim.state.no_of_shells
+    assert ed.check_normalization().all()
+
+    # edit: set Si=0.7 on the 3 innermost shells, renormalizing others
+    ed.set_abundance("Si", 0.7, shells=[0, 1, 2], normalize=True)
+    assert ed.check_normalization().all()
+    np.testing.assert_allclose(ed.abundances[14][:3], 0.7)
+
+    # velocity-range selection
+    v0 = ed.velocity[0]
+    ed.set_abundance("O", 0.1,
+                     velocity_range=(v0, v0 + 1.0), normalize=True)
+    assert ed.check_normalization().all()
+
+    # resample preserves normalization and monotone velocity grid
+    ed.resample(12)
+    assert ed.n_shells == 12
+    assert ed.check_normalization().all()
+
+    # export -> read back through the CSVY pipeline
+    out = str(tmp_path / "edited.csvy")
+    ed.to_csvy(out, t_rad=np.full(12, 9500.0),
+               dilution_factor=np.full(12, 0.4))
+    ed2 = CustomAbundanceEditor.from_csvy(
+        out, time_explosion=sim.state.time_explosion
+    )
+    assert ed2.n_shells == 12
+    # isotope-free export: element set unchanged up to decay products
+    assert set(ed2.elements) >= set(ed.elements)
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    ax = ed.plot()
+    assert len(ax.lines) + len(ax.collections) >= 0

@@ -271,3 +271,76 @@ def test_h5py_pandas_decoder_reads_real_pandas_store():
     with H5PandasStore(REFERENCE_HDF) as store:
         assert "ff_emissivity" in store
         assert store["z2rkstate_key"].shape[1] == 624
+
+
+def test_cmfgen2tardis_converter_roundtrip(tmp_path):
+    """Raw CMFGEN output -> TARDIS csv -> SimulationState."""
+    from tardis_tpu.io.cmfgen2tardis import convert_cmfgen_file
+    from tardis_tpu.io.model_readers import read_cmfgen_model
+
+    raw = tmp_path / "model.fin"
+    # CMFGEN stores shells outermost-first; 4 shells
+    raw.write_text(
+        "Model output at Time (days)  2.0\n"
+        "Number of data points: 4\n"
+        "\n"
+        "Velocity (km/s)\n"
+        "14000.0 13000.0\n"
+        "12000.0 11000.0\n"
+        "\n"
+        "Temperature (10^4K)\n"
+        "0.9 0.95 1.0 1.05\n"
+        "\n"
+        "Density (gm/cm^3)\n"
+        "1e-14 2e-14 4e-14 8e-14\n"
+        "\n"
+        "Electron density (/cm^3)\n"
+        "1e8 2e8 4e8 8e8\n"
+        "\n"
+        "si mass fraction\n"
+        "0.6 0.6 0.6 0.6\n"
+        "\n"
+        "ni 56 mass fraction\n"
+        "0.4 0.4 0.4 0.4\n"
+        "\n"
+    )
+    out = convert_cmfgen_file(str(raw), str(tmp_path))
+    t0, columns, units, data = read_cmfgen_model(out)
+    np.testing.assert_allclose(t0, 2.0 * 86400.0)
+    assert columns[:4] == [
+        "velocity", "temperature", "densities", "electron_densities"
+    ]
+    assert "Si" in columns and "Ni56" in columns
+    # innermost shell first after conversion
+    np.testing.assert_allclose(data[:, 0], [11000, 12000, 13000, 14000])
+    # 10^4 K scaling applied
+    np.testing.assert_allclose(
+        data[:, 1], [10500.0, 10000.0, 9500.0, 9000.0]
+    )
+    np.testing.assert_allclose(data[:, 4] + data[:, 5], 1.0)
+
+    cfg = config_from_dict(
+        {
+            "supernova": {
+                "luminosity_requested": "9.44 log_lsun",
+                "time_explosion": "10 day",
+            },
+            "model": {
+                "structure": {"type": "file", "filename": out,
+                              "filetype": "cmfgen_model"},
+                "abundances": {"type": "file", "filename": out,
+                               "filetype": "cmfgen_model"},
+            },
+            "montecarlo": {"seed": 1, "no_of_packets": 100, "iterations": 1},
+            "spectrum": {"start": "500 angstrom", "stop": "20000 angstrom",
+                         "num": 20},
+        }
+    )
+    from tardis_tpu.io.model_readers import simulation_state_from_cmfgen
+
+    state = simulation_state_from_cmfgen(out, cfg)
+    assert state.no_of_shells == 3
+    # Ni56 decays toward Co/Fe over 8 days: Ni fraction must drop
+    z_ni = 28
+    idx = list(state.composition.atomic_numbers).index(z_ni)
+    assert state.composition.mass_fractions[idx, 0] < 0.4
