@@ -150,3 +150,37 @@ def test_adaptive_damped_convergence():
 
     with pytest.raises(NotImplementedError):
         make_convergence_solvers({"type": "custom"})
+
+
+def test_atom_data_download_cache_and_registry(tmp_path, monkeypatch):
+    from tardis_tpu.atomic import download as dl
+
+    monkeypatch.setenv("TARDIS_TPU_DATA_DIR", str(tmp_path))
+    # unknown name rejected
+    import pytest
+
+    with pytest.raises(ValueError):
+        dl.download_atom_data("no_such_dataset")
+
+    # pre-staged file is used without any network access
+    name = dl.ATOMIC_DATA_REPO["default"]
+    staged = tmp_path / f"{name}.h5"
+    staged.write_bytes(b"fake atomic data")
+    out = dl.download_atom_data()
+    assert out == staged
+
+    # checksum helper
+    import hashlib
+
+    assert dl.md5_checksum(staged) == hashlib.md5(
+        b"fake atomic data"
+    ).hexdigest()
+
+    # failed download produces the actionable air-gap message
+    monkeypatch.setitem(
+        dl.ATOMIC_DATA_REPO,
+        "broken",
+        {"url": "http://127.0.0.1:1/none.h5", "mirrors": (), "md5": ""},
+    )
+    with pytest.raises(RuntimeError, match="copy the file manually"):
+        dl.download_atom_data("broken")
