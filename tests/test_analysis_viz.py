@@ -164,3 +164,44 @@ def test_custom_abundance_editor_roundtrip(sim, tmp_path):
     matplotlib.use("Agg")
     ax = ed.plot()
     assert len(ax.lines) + len(ax.collections) >= 0
+
+
+def test_debug_packet_log_and_rpacket_plot(atom_data_prepared):
+    import copy
+
+    from tardis_tpu.io.debug_packets import (
+        debug_packet_log,
+        packet_events_dataframe,
+    )
+
+    cfg = copy.deepcopy(BASE_CONFIG)
+    cfg["montecarlo"]["no_of_packets"] = 512
+    cfg["montecarlo"]["iterations"] = 1
+    cfg["montecarlo"]["tracking"] = {
+        "track_rpacket": True,
+        "initial_array_length": 16,
+    }
+    s = Simulation.from_config(
+        config_from_dict(cfg), atom_data=atom_data_prepared
+    )
+    s.run_convergence()
+    s.run_final()
+    res = s.last_transport_result
+    assert res.rpacket_tracker is not None
+
+    df = packet_events_dataframe(res, 0)
+    assert len(df) >= 1
+    assert set(df.columns) >= {"r", "nu", "energy", "shell", "event"}
+
+    text = debug_packet_log(res, [0, 1, 2])
+    assert "packet 0:" in text and "packet 2:" in text
+    assert any(
+        name in text
+        for name in ("BOUNDARY", "LINE", "ESCATTERING", "BIRTH")
+    )
+
+    from tardis_tpu.visualization.rpacket import RPacketPlotter
+
+    plotter = RPacketPlotter.from_simulation(s, no_of_packets=5)
+    ax = plotter.generate_plot_mpl()
+    assert ax is not None
