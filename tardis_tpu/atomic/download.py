@@ -70,14 +70,15 @@ def download_atom_data(atomic_data_name: str | None = None,
 
     if dst.exists() and not force_download:
         if entry.get("md5") and md5_checksum(dst) != entry["md5"]:
+            # corrupt cache: treat as force_download (reference deletes and
+            # re-fetches on mismatch) instead of silently returning bad data
             logger.warning(
-                "%s exists but fails its MD5 check; re-download with "
-                "force_download=True if it is corrupt", dst
+                "%s exists but fails its MD5 check; re-downloading", dst
             )
         else:
             logger.info("Atomic data %s already cached at %s",
                         atomic_data_name, dst)
-        return dst
+            return dst
 
     urls = (entry["url"], *entry.get("mirrors", ()))
     last_error = None

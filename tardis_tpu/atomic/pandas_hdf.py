@@ -97,32 +97,85 @@ def _read_fixed_series(group) -> pd.Series:
     return pd.Series(values, index=index, name=name)
 
 
+def _maybe_unpickle(val):
+    """PyTables stores Python-object attrs (lists, tuples) as pickled bytes
+    (h5py surfaces opaque attrs as np.void)."""
+    if isinstance(val, np.void):
+        val = val.tobytes()
+    if isinstance(val, bytes):
+        try:
+            import pickle
+
+            return pickle.loads(val)
+        except Exception:
+            return val.decode(errors="replace")
+    return val
+
+
+def _as_str(v):
+    return v.decode() if isinstance(v, bytes) else v
+
+
 def _read_table_frame(group) -> pd.DataFrame:
-    """Decode pandas 'table' format: one structured-dtype dataset."""
-    table = group["table"][()]
+    """Decode pandas 'table' format: one structured-dtype dataset.
+
+    Column names of multi-column ``values_block_N`` fields come from the
+    pickled ``{name}_kind`` attribute on the table dataset (``{name}_meta``
+    holds a meta string like 'category', NOT the names); index fields are
+    identified from the pickled ``index_cols`` metadata (``[(axis, name)]``)
+    so table-format MultiIndex frames (fields named by level names) restore
+    their index correctly.
+    """
+    ds = group["table"]
+    table = ds[()]
     names = table.dtype.names
-    index_cols = []
-    ncols = int(group["table"].attrs.get("index_variety_nlevels", 0) or 0)
-    del ncols  # layout probing below is sufficient
+
+    # --- which fields form the (Multi)Index ---
+    index_fields = []
+    idx_attr = _maybe_unpickle(ds.attrs.get("index_cols", None))
+    if isinstance(idx_attr, (list, tuple)):
+        for entry in idx_attr:
+            nm = entry[1] if isinstance(entry, (tuple, list)) else entry
+            nm = _as_str(nm)
+            if nm in names:
+                index_fields.append(nm)
+    if not index_fields:  # layout probing fallback
+        index_fields = [
+            n for n in names if n == "index" or n.startswith("index_")
+        ]
+
     data = {}
+    order = []
     for name in names:
         col = table[name]
+        is_block = name.startswith("values_block")
+        if is_block:
+            kind = _maybe_unpickle(ds.attrs.get(f"{name}_kind", None))
+            if isinstance(kind, (list, tuple, np.ndarray)):
+                labels = [_as_str(k) for k in kind]
+            else:
+                labels = None
+            if col.ndim == 1:
+                col = col[:, None]
+            nsub = col.shape[1]
+            if labels is None or len(labels) != nsub:
+                labels = (
+                    [name]
+                    if nsub == 1
+                    else [f"{name}_{j}" for j in range(nsub)]
+                )
+            for j in range(nsub):
+                data[labels[j]] = _decode_1d(col[:, j])
+                order.append(labels[j])
+            continue
         if col.ndim == 2 and col.shape[1] == 1:
             col = col[:, 0]
-        if col.ndim == 2:
-            # values_block with several columns: expand using items attr
-            items_attr = _attr(group["table"], f"{name}_meta", None)
-            for j in range(col.shape[1]):
-                label = f"{name}_{j}" if items_attr is None else items_attr[j]
-                data[label] = _decode_1d(col[:, j])
-            continue
         data[name] = _decode_1d(col)
-        if name == "index" or name.startswith("index_"):
-            index_cols.append(name)
+        order.append(name)
     df = pd.DataFrame(data)
-    if index_cols:
-        df = df.set_index(index_cols)
-        if index_cols == ["index"]:
+    if index_fields:
+        df = df.set_index(index_fields)
+        if index_fields == ["index"]:
             df.index.name = None
     return df
 

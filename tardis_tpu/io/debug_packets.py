@@ -24,9 +24,9 @@ import numpy as np
 #  transport/montecarlo/packets/radiative_packet.py:12)
 EVENT_NAMES = {
     0: "NO_INTERACTION",
-    1: "BOUNDARY",
+    1: "ESCATTERING",
     2: "LINE",
-    3: "ESCATTERING",
+    3: "BOUNDARY",
     4: "CONTINUUM_PROCESS",
     -1: "BIRTH",
 }

@@ -85,10 +85,13 @@ class ConvergenceState:
 def make_convergence_solvers(strategy: dict):
     """Build per-quantity solvers from the montecarlo.convergence_strategy
     config section."""
-    base_d = strategy.get("damping_constant", 1.0)
+    kind = strategy.get("type", "damped")
+    # reference hard-resets the adaptive starting factor to 0.5 regardless
+    # of config (simulation/convergence.py adaptive initialization)
+    default_d = 0.5 if kind == "adaptive_damped" else 1.0
+    base_d = strategy.get("damping_constant", default_d)
     thr = strategy.get("threshold", 0.05)
     frac = strategy.get("fraction", 0.8)
-    kind = strategy.get("type", "damped")
     if kind not in ("damped", "adaptive_damped"):
         raise NotImplementedError(
             f"convergence strategy type {kind!r} (custom is not implemented "

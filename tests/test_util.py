@@ -162,10 +162,16 @@ def test_atom_data_download_cache_and_registry(tmp_path, monkeypatch):
     with pytest.raises(ValueError):
         dl.download_atom_data("no_such_dataset")
 
-    # pre-staged file is used without any network access
+    # pre-staged file matching its checksum is used without network access
+    # (a checksum MISMATCH now triggers a re-download; see test_advice_fixes)
+    import hashlib as _hl
+
     name = dl.ATOMIC_DATA_REPO["default"]
     staged = tmp_path / f"{name}.h5"
     staged.write_bytes(b"fake atomic data")
+    entry = dict(dl.ATOMIC_DATA_REPO[name])
+    entry["md5"] = _hl.md5(b"fake atomic data").hexdigest()
+    monkeypatch.setitem(dl.ATOMIC_DATA_REPO, name, entry)
     out = dl.download_atom_data()
     assert out == staged
 
