@@ -92,19 +92,6 @@ def main():
     pool_mu, pool_nu = sample_blackbody_packets(key, B, state.t_inner)
     results = {}
 
-    # ---------------- full single step ----------------
-    step = K.make_transport_step(
-        tables, static, pool_mu, pool_nu, B, key
-    )
-    carry0 = K.init_carry(static, B, B)
-    # warm the carry with one step so 'alive' lanes exist
-    step_j = jax.jit(step)
-    t0 = time.time()
-    carry1 = step_j(carry0)
-    jax.block_until_ready(carry1)
-    results["step_compile_s"] = time.time() - t0
-    results["full_step_ms"] = timeit(step_j, carry1) * 1e3
-
     # ---------------- RNG draws ----------------
     pid = jnp.arange(B, dtype=jnp.int32)
     eidx = jnp.ones(B, jnp.int32)

@@ -79,23 +79,31 @@ def bench_transport(
 ):
     import jax
 
-    from tardis_tpu.opacities.macro_atom_solver import solve_macro_state
+    from tardis_tpu.opacities.macro_atom_solver import (
+        solve_macro_chain,
+        solve_macro_state,
+    )
     from tardis_tpu.transport.device_state import build_transport_tables
     from tardis_tpu.transport.kernel import run_transport
     from tardis_tpu.transport.source import sample_blackbody_packets
 
     config, state, atom, plasma = build_problem(n_levels, max_level_jump, mode)
     macro_state = None
+    macro_chain = None
     if mode in ("downbranch", "macroatom"):
         macro = atom.downbranch if mode == "downbranch" else atom.macro_atom
-        macro_state = solve_macro_state(
+        margs = (
             macro,
             plasma.beta_sobolev,
             plasma.j_blues,
             plasma.stimulated_emission_factor,
         )
+        macro_chain = solve_macro_chain(*margs, mode=mode)
+        if macro_chain is None:
+            macro_state = solve_macro_state(*margs)
     tables, static = build_transport_tables(
-        state.geometry, plasma, atom, mode, macro_state=macro_state
+        state.geometry, plasma, atom, mode,
+        macro_state=macro_state, macro_chain=macro_chain,
     )
 
     key = jax.random.key(np.uint32(23111963))

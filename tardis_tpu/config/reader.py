@@ -58,25 +58,73 @@ _UNIT_TO_CGS = {
 }
 
 
-def _single_unit_to_cgs(token: str) -> float:
-    """Convert one unit token like 'km', 'cm^-3', 's-1' to a cgs factor."""
+# physical dimension per base unit: exponents of (length, mass, time, temp)
+_UNIT_DIMS = {
+    "cm": (1, 0, 0, 0), "m": (1, 0, 0, 0), "km": (1, 0, 0, 0),
+    "angstrom": (1, 0, 0, 0), "AA": (1, 0, 0, 0), "nm": (1, 0, 0, 0),
+    "um": (1, 0, 0, 0),
+    "s": (0, 0, 1, 0), "second": (0, 0, 1, 0), "day": (0, 0, 1, 0),
+    "d": (0, 0, 1, 0), "hour": (0, 0, 1, 0), "h": (0, 0, 1, 0),
+    "min": (0, 0, 1, 0),
+    "g": (0, 1, 0, 0), "kg": (0, 1, 0, 0), "solMass": (0, 1, 0, 0),
+    "msun": (0, 1, 0, 0),
+    "erg": (2, 1, -2, 0), "eV": (2, 1, -2, 0), "keV": (2, 1, -2, 0),
+    "MeV": (2, 1, -2, 0),
+    "solLum": (2, 1, -3, 0), "lsun": (2, 1, -3, 0), "W": (2, 1, -3, 0),
+    "K": (0, 0, 0, 1),
+    "Hz": (0, 0, -1, 0),
+    "1": (0, 0, 0, 0),
+}
+
+
+def _split_unit_token(token: str):
+    """'cm^-3' / 'cm-3' / 's**-1' -> (base, power)."""
     token = token.strip()
     power = 1.0
     for sep in ("^", "**"):
         if sep in token:
             base, p = token.split(sep, 1)
-            token, power = base, float(p)
-            break
-    else:
-        # trailing signed integer exponent, e.g. cm-3
-        i = len(token)
-        while i > 0 and (token[i - 1].isdigit() or token[i - 1] == "-"):
-            i -= 1
-        if i < len(token) and i > 0:
-            token, power = token[:i], float(token[i:])
+            return base, float(p)
+    # trailing signed integer exponent, e.g. cm-3
+    i = len(token)
+    while i > 0 and (token[i - 1].isdigit() or token[i - 1] == "-"):
+        i -= 1
+    if i < len(token) and i > 0:
+        return token[:i], float(token[i:])
+    return token, power
+
+
+def _single_unit_to_cgs(token: str) -> float:
+    """Convert one unit token like 'km', 'cm^-3', 's-1' to a cgs factor."""
+    token, power = _split_unit_token(token)
     if token not in _UNIT_TO_CGS:
         raise ValueError(f"Unknown unit '{token}'")
     return _UNIT_TO_CGS[token] ** power
+
+
+def unit_dimension(unit: str):
+    """Physical dimension (L, M, T, Theta exponents) of a unit string."""
+    unit = unit.strip()
+    if unit in ("", "1"):
+        return (0.0, 0.0, 0.0, 0.0)
+    if unit == "log_lsun":
+        return tuple(float(x) for x in _UNIT_DIMS["solLum"])
+    dims = [0.0, 0.0, 0.0, 0.0]
+    num, _, den = unit.partition("/")
+    for tok in num.replace("*", " ").split():
+        base, power = _split_unit_token(tok)
+        if base not in _UNIT_DIMS:
+            raise ValueError(f"Unknown unit '{base}'")
+        for i in range(4):
+            dims[i] += _UNIT_DIMS[base][i] * power
+    if den:
+        for tok in den.replace("*", " ").split():
+            base, power = _split_unit_token(tok)
+            if base not in _UNIT_DIMS:
+                raise ValueError(f"Unknown unit '{base}'")
+            for i in range(4):
+                dims[i] -= _UNIT_DIMS[base][i] * power
+    return tuple(dims)
 
 
 def unit_to_cgs_factor(unit: str) -> float:
@@ -208,8 +256,19 @@ _SPECTRUM_DEFAULTS = {
 }
 
 
-def validate_config(raw: dict) -> ConfigDict:
-    """Inject defaults and normalize quantities; returns cgs config tree."""
+def validate_config(raw: dict, schema: bool = True) -> ConfigDict:
+    """Inject defaults and normalize quantities; returns cgs config tree.
+
+    With ``schema=True`` (default) the raw dict is first validated against
+    the typed schema in :mod:`tardis_tpu.config.schema` — unknown keys,
+    wrong enums, and wrong quantity dimensions raise ConfigurationError
+    (mirroring the reference's jsonschema validation,
+    /root/reference/tardis/io/configuration/config_validator.py:32-201).
+    """
+    if schema:
+        from tardis_tpu.config.schema import validate_schema
+
+        raw = validate_schema(raw)
     cfg = dict(raw)
     sn = cfg.get("supernova", {})
     sn = {
@@ -255,6 +314,11 @@ def validate_config(raw: dict) -> ConfigDict:
     mc["convergence_strategy"] = _deep_merge(
         _CONVERGENCE_DEFAULTS, mc.get("convergence_strategy", {})
     )
+    spawn = dict(mc.get("virtual_spectrum_spawn_range", {}))
+    mc["virtual_spectrum_spawn_range"] = {
+        "start": parse_quantity(spawn.get("start", 0.0)),
+        "end": parse_quantity(spawn.get("end", float("inf"))),
+    }
     mc["no_of_packets"] = int(float(mc["no_of_packets"]))
     if mc["last_no_of_packets"] is None or float(mc["last_no_of_packets"]) <= 0:
         mc["last_no_of_packets"] = mc["no_of_packets"]

@@ -34,9 +34,16 @@ from tardis_tpu.utils.search import searchsorted_unrolled
 F32 = jnp.float32
 I32 = jnp.int32
 
-ELECTRON_REST_KEV = 510.998950
-MASS_SI = 28.085 * 1.6605390666e-24
-MASS_FE = 55.845 * 1.6605390666e-24
+# electron rest energy in keV, value-matched to the reference's
+# (m_e c^2).to(keV) (opacities/opacities.py:23; backed out from its
+# kappa_calculation test fixtures: 511.0/1.0000021334560507)
+ELECTRON_REST_KEV = 510.9989098062839
+# nuclide mass x proton mass, matching the reference's convention
+# (/root/reference/tardis/opacities/opacities.py:18-20: Nuclide atomic_mass
+# [amu] x const.m_p — NOT x amu; kept for value parity)
+_M_P = 1.67262192369e-24
+MASS_SI = 27.97692653442 * _M_P  # Si-28
+MASS_FE = 55.93493633 * _M_P  # Fe-56
 
 
 # ---------------------------------------------------------------------------
@@ -96,7 +103,7 @@ def pair_creation_opacity(energy_kev, density, iron_group_fraction):
     low = mult * 1.0063 * (energy_kev / 1000.0 - 1.022) * 1.0e-27
     high = mult * (0.0481 + 0.301 * (energy_kev / 1000.0 - 1.5)) * 1.0e-27
     return jnp.where(
-        energy_kev > 1500.0,
+        energy_kev >= 1500.0,
         high,
         jnp.where(energy_kev > 1022.0, low, 0.0),
     )

@@ -85,6 +85,15 @@ class TransportTables(NamedTuple):
     fb_cdf: jnp.ndarray = jnp.zeros(1, jnp.float32)  # (P*S,)
     fb_nu: jnp.ndarray = jnp.zeros(1, jnp.float32)  # (P,) scaled
     pion_block_start: jnp.ndarray = jnp.zeros(2, jnp.int32)  # (C+1,)
+    # ---- absorbing-chain macro-atom tables (opacities/macro_atom_solver.py
+    # solve_macro_chain); size-1 dummies when the walk path is used ----
+    chain_summary: jnp.ndarray = jnp.zeros((1, 128), jnp.float32)  # (S*M,128)
+    chain_tiles: jnp.ndarray = jnp.zeros((1, 128), jnp.float32)  # (S*M*W,128)
+    emit_summary: jnp.ndarray = jnp.zeros((1, 128), jnp.float32)  # (S*M,128)
+    emit_tiles: jnp.ndarray = jnp.zeros((1, 128), jnp.float32)  # (S*Et,128)
+    emit_tile_start: jnp.ndarray = jnp.zeros(2, jnp.int32)  # (M+1,)
+    emit_block_start: jnp.ndarray = jnp.zeros(2, jnp.int32)  # (M+1,)
+    emit_line: jnp.ndarray = jnp.zeros(1, jnp.int32)  # (E,)
 
 
 class TransportStaticConfig(NamedTuple):
@@ -127,6 +136,12 @@ class TransportStaticConfig(NamedTuple):
     deact_bits: int = 1  # ceil(log2 max deactivation block)
     fb_bits: int = 1  # ceil(log2 max photoionization block)
     k_state: int = 0
+    # ---- absorbing-chain macro-atom sampling (replaces the RNG walk with
+    # ~4 tile-row gathers; see solve_macro_chain) ----
+    use_macro_chain: bool = False
+    n_chain_states: int = 0  # M
+    chain_tile_w: int = 0  # W = ceil(M/128); 0 = identity (downbranch)
+    emit_tiles_total: int = 0  # Et
 
 
 def build_continuum_grid(photo_ion, edge_eps: float = 1e-6):
@@ -171,6 +186,7 @@ def build_transport_tables(
     enable_full_relativity: bool = False,
     continuum_state=None,
     continuum_macro=None,
+    macro_chain=None,
 ):
     """Build device tables from host-side plasma/geometry state.
 
@@ -207,6 +223,29 @@ def build_transport_tables(
     mode = {"scatter": LINE_SCATTER, "downbranch": LINE_DOWNBRANCH,
             "macroatom": LINE_MACROATOM}[line_interaction_type]
 
+    chain_kw = {}
+    chain_static = {}
+    if macro_chain is not None:
+        mc = macro_chain
+        chain_kw = dict(
+            emit_summary=jnp.asarray(mc.emit_summary),
+            emit_tiles=jnp.asarray(mc.emit_tiles),
+            emit_tile_start=jnp.asarray(mc.emit_tile_start),
+            emit_block_start=jnp.asarray(mc.emit_block_start),
+            emit_line=jnp.asarray(mc.emit_line),
+        )
+        if mc.chain_tiles is not None:
+            chain_kw.update(
+                chain_summary=jnp.asarray(mc.chain_summary),
+                chain_tiles=jnp.asarray(mc.chain_tiles),
+            )
+        chain_static = dict(
+            use_macro_chain=True,
+            n_chain_states=mc.n_states,
+            chain_tile_w=mc.chain_tile_w,
+            emit_tiles_total=mc.emit_tiles_total,
+        )
+
     if macro_state is not None:
         cum_prob, block_start, dest, emit, mline, line2macro = macro_state
         macro_block_bits = int(
@@ -218,7 +257,10 @@ def build_transport_tables(
         dest = np.zeros(1, dtype=np.int32)
         emit = np.ones(1, dtype=bool)
         mline = np.zeros(1, dtype=np.int32)
-        line2macro = np.zeros(L, dtype=np.int32)
+        if macro_chain is not None and macro_chain.line2macro is not None:
+            line2macro = macro_chain.line2macro
+        else:
+            line2macro = np.zeros(L, dtype=np.int32)
         macro_block_bits = 1
 
     cont_kw = {}
@@ -295,6 +337,7 @@ def build_transport_tables(
         neg_nu_tiled=build_tiled_table(-line_nu_scaled),
         pred_tables=build_predicate_tables(cum_f64, line_nu_scaled),
         **cont_kw,
+        **chain_kw,
     )
     import jax
 
@@ -314,5 +357,6 @@ def build_transport_tables(
         # XLA:CPU's LLVM backend prefers the small while_loop graph
         unroll_macro_walk=on_accelerator,
         **cont_static,
+        **chain_static,
     )
     return tables, static

@@ -36,6 +36,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from tardis_tpu.transport.device_state import (
+    LINE_MACROATOM,
     LINE_SCATTER,
     TransportStaticConfig,
     TransportTables,
@@ -53,6 +54,7 @@ I32 = jnp.int32
 STATUS_IN_PROCESS = 0
 STATUS_EMITTED = 1
 STATUS_REABSORBED = 2
+TILE_128 = 128
 
 # RNG draw tags
 _TAG_TAU = 0
@@ -216,6 +218,48 @@ def _macro_walk(tables, static, i_event, shell, keys, is_line):
             cond, jump_body, (jnp.zeros((), I32), level, em_line, done)
         )
     return em_line
+
+
+def _chain_emission(tables, static, i_event, shell, keys):
+    """Absorbing-chain macro-atom emission-line selection.
+
+    Exact replacement for the RNG walk (reference macro_atom.py:52-104): the
+    deactivating level is drawn from the precomputed absorbing-probability
+    row B[shell, level, :] and the emitted line from that level's emission
+    block — both by 128-ary row searches over tile-aligned CDFs (two (B,128)
+    row gathers each; ~100x cheaper than the walk's dependent scalar probes
+    on TPU).  Tables built by opacities/macro_atom_solver.solve_macro_chain.
+    """
+    M = static.n_chain_states
+    W = static.chain_tile_w
+    Et = static.emit_tiles_total
+    L = static.n_lines
+    level = tables.line2macro[jnp.clip(i_event, 0, L - 1)]
+
+    if static.line_interaction_mode == LINE_MACROATOM:
+        u1 = _uniform_from_key(keys, _TAG_MK_ROW)
+        srow = shell * M + level
+        s_row = tables.chain_summary[srow]  # (B,128)
+        w = jnp.sum((s_row < u1[:, None]), axis=1).astype(I32)
+        w = jnp.minimum(w, W - 1)
+        t_row = tables.chain_tiles[srow * W + w]
+        cnt = jnp.sum((t_row < u1[:, None]), axis=1).astype(I32)
+        j = jnp.minimum(w * TILE_128 + cnt, M - 1)
+    else:  # downbranch: deactivate at the activated level
+        j = level
+
+    u2 = _uniform_from_key(keys, _TAG_MK_DEACT)
+    es_row = tables.emit_summary[shell * M + j]
+    w2 = jnp.sum((es_row < u2[:, None]), axis=1).astype(I32)
+    tile0 = tables.emit_tile_start[j]
+    ntile = tables.emit_tile_start[j + 1] - tile0
+    w2 = jnp.minimum(w2, jnp.maximum(ntile - 1, 0))
+    e_row = tables.emit_tiles[shell * Et + tile0 + w2]
+    cnt2 = jnp.sum((e_row < u2[:, None]), axis=1).astype(I32)
+    e0 = tables.emit_block_start[j]
+    e1 = tables.emit_block_start[j + 1]
+    slot = jnp.clip(e0 + w2 * TILE_128 + cnt2, e0, jnp.maximum(e1 - 1, e0))
+    return tables.emit_line[slot]
 
 
 def _markov_interaction(tables, static, state0, shell, keys):
@@ -694,6 +738,12 @@ def make_transport_step(
         else:
             if static.line_interaction_mode == LINE_SCATTER:
                 em_line = i_event
+            elif static.use_macro_chain:
+                em_line = jnp.where(
+                    is_line,
+                    _chain_emission(tables, static, i_event, shell_c, keys),
+                    i_event,
+                )
             else:
                 em_line = _macro_walk(
                     tables, static, i_event, shell_c, keys, is_line

@@ -22,7 +22,10 @@ from tardis_tpu.constants import (
     SIGMA_SB,
     T_RADIATIVE_ESTIMATOR_CONSTANT,
 )
-from tardis_tpu.opacities.macro_atom_solver import solve_macro_state
+from tardis_tpu.opacities.macro_atom_solver import (
+    solve_macro_chain,
+    solve_macro_state,
+)
 from tardis_tpu.plasma.lte import intensity_black_body
 from tardis_tpu.transport.device_state import (
     NU_UNIT,
@@ -95,7 +98,11 @@ class TransportSolver:
         enable_full_relativity: bool = False,
         track_rpacket_length: int = 0,
         inner_boundary_albedo: float = 0.0,
+        use_macro_chain: bool | str = "auto",
     ):
+        # "auto": absorbing-chain macro-atom sampling when the chain tables
+        # fit the device budget (see solve_macro_chain), RNG walk otherwise
+        self.use_macro_chain = use_macro_chain
         self.line_interaction_type = line_interaction_type
         self.disable_electron_scattering = disable_electron_scattering
         self.disable_line_scattering = disable_line_scattering
@@ -125,6 +132,7 @@ class TransportSolver:
         geometry = sim_state.geometry
         ct = C * geometry.time_explosion
         macro_state = None
+        macro_chain = None
         if continuum_state is not None:
             # IIP mode: the absorbing-Markov tables replace the classic
             # macro-atom walk entirely (and force full relativity, as the
@@ -136,12 +144,21 @@ class TransportSolver:
                 if self.line_interaction_type == "downbranch"
                 else atom_data.macro_atom
             )
-            macro_state = solve_macro_state(
-                macro,
-                plasma_state.beta_sobolev,
-                plasma_state.j_blues,
-                plasma_state.stimulated_emission_factor,
-            )
+            if self.use_macro_chain in ("auto", True):
+                macro_chain = solve_macro_chain(
+                    macro,
+                    plasma_state.beta_sobolev,
+                    plasma_state.j_blues,
+                    plasma_state.stimulated_emission_factor,
+                    mode=self.line_interaction_type,
+                )
+            if macro_chain is None:
+                macro_state = solve_macro_state(
+                    macro,
+                    plasma_state.beta_sobolev,
+                    plasma_state.j_blues,
+                    plasma_state.stimulated_emission_factor,
+                )
 
         tables, static = build_transport_tables(
             geometry,
@@ -155,6 +172,7 @@ class TransportSolver:
             ),
             continuum_state=continuum_state,
             continuum_macro=continuum_macro,
+            macro_chain=macro_chain,
         )
         if self.disable_line_scattering:
             static = static._replace(disable_line_scattering=True)
