@@ -82,6 +82,30 @@ class MacroAtomData:
 
 
 @dataclass
+class CollisionData:
+    """Tabulated thermally-averaged collision strengths.
+
+    Counterpart of the reference's ``collision_data`` /
+    ``collision_data_temperatures`` HDF tables consumed by YgData
+    (/root/reference/tardis/plasma/properties/atomic.py:646): per
+    (lower, upper) level pair, Upsilon_ij / g_lower tabulated over a
+    temperature grid; collisional rate coefficients follow Przybilla &
+    Butler 2004 (A2):
+
+        q_lu = BETA_COLL / sqrt(T_e) * yg * exp(-dE / k T_e)
+        q_ul = BETA_COLL / sqrt(T_e) * yg * g_l / g_u
+    """
+
+    lower_flat: np.ndarray  # (Nc,) int32 flat level index (lower)
+    upper_flat: np.ndarray  # (Nc,) int32
+    temperatures: np.ndarray  # (Nt,) K, ascending
+    yg: np.ndarray  # (Nc, Nt) Upsilon / g_lower
+
+    def __len__(self):
+        return len(self.lower_flat)
+
+
+@dataclass
 class PhotoIonizationData:
     """Tabulated photoionization cross-sections (bound-free continua).
 
@@ -158,6 +182,10 @@ class AtomData:
     # tables; required for continuum/IIP transport)
     photo_ion: PhotoIonizationData | None = None
 
+    # tabulated collision strengths (None when the dataset has no
+    # collision_data table; NLTE then falls back to van Regemorter)
+    collision: CollisionData | None = None
+
     # filled by prepare()
     species_z: np.ndarray | None = None  # (S,) unique species (Z, ion)
     species_ion: np.ndarray | None = None
@@ -221,6 +249,17 @@ class AtomData:
                 x_sect=pi.x_sect[pts],
             )
 
+        collision = None
+        if self.collision is not None:
+            co = self.collision
+            keepc = np.isin(self.level_z[co.lower_flat], wanted)
+            collision = CollisionData(
+                lower_flat=old_to_new[co.lower_flat[keepc]].astype(np.int32),
+                upper_flat=old_to_new[co.upper_flat[keepc]].astype(np.int32),
+                temperatures=co.temperatures,
+                yg=co.yg[keepc],
+            )
+
         return AtomData(
             atomic_numbers=self.atomic_numbers[emask],
             masses=self.masses[emask],
@@ -245,6 +284,7 @@ class AtomData:
             line_ion=self.line_ion[line_mask],
             meta=dict(self.meta),
             photo_ion=photo_ion,
+            collision=collision,
             zeta_data=self.zeta_data,
         )
 

@@ -30,6 +30,14 @@ def atom_data_from_hdf(path: str) -> AtomData:
         levels = store["levels_data"] if "levels_data" in store else store["levels"]
         lines = store["lines_data"] if "lines_data" in store else store["lines"]
         zeta = store["zeta_data"] if "zeta_data" in store else None
+        coll = (
+            store["collision_data"] if "collision_data" in store else None
+        )
+        coll_t = (
+            store["collision_data_temperatures"]
+            if "collision_data_temperatures" in store
+            else None
+        )
 
     # --- elements
     atom_df = atom_df.reset_index()
@@ -75,6 +83,44 @@ def atom_data_from_hdf(path: str) -> AtomData:
     lower = flat_idx(lz, li, ln["level_number_lower"].to_numpy(np.int64))
     upper = flat_idx(lz, li, ln["level_number_upper"].to_numpy(np.int64))
 
+    collision = None
+    if coll is not None and coll_t is not None:
+        from tardis_tpu.atomic.atom_data import CollisionData
+
+        cd = coll.reset_index()
+        # value columns = one per tabulated temperature (YgData convention:
+        # yg_data.columns = t_yg, plasma/properties/atomic.py:688-696)
+        temps = np.asarray(coll_t.to_numpy(np.float64)).ravel()
+        value_cols = [
+            c
+            for c in cd.columns
+            if c
+            not in (
+                "atomic_number",
+                "ion_number",
+                "level_number_lower",
+                "level_number_upper",
+                "e_col_id",
+                "delta_e",
+                "gf",
+                "ttype",
+                "cups",
+            )
+        ][: len(temps)]
+        yg = cd[value_cols].to_numpy(np.float64)
+        cz = cd["atomic_number"].to_numpy(np.int64)
+        ci = cd["ion_number"].to_numpy(np.int64)
+        collision = CollisionData(
+            lower_flat=flat_idx(
+                cz, ci, cd["level_number_lower"].to_numpy(np.int64)
+            ),
+            upper_flat=flat_idx(
+                cz, ci, cd["level_number_upper"].to_numpy(np.int64)
+            ),
+            temperatures=temps,
+            yg=yg,
+        )
+
     zeta_data = None
     if zeta is not None:
         zeta_data = {}
@@ -102,6 +148,7 @@ def atom_data_from_hdf(path: str) -> AtomData:
         line_ion=li,
         meta={"source": path},
         zeta_data=zeta_data,
+        collision=collision,
     )
 
 

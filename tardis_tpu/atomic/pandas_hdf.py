@@ -27,6 +27,8 @@ import h5py
 
 def _attr(obj, name, default=None):
     val = obj.attrs.get(name, default)
+    if isinstance(val, np.void):
+        val = _maybe_unpickle(val)
     if isinstance(val, bytes):
         val = val.decode()
     return val

@@ -33,6 +33,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=131072)
     ap.add_argument("--nsteps", type=int, default=20)
+    ap.add_argument("--only", default=None)
     args = ap.parse_args()
     B = args.batch
 
@@ -81,38 +82,48 @@ def main():
         )
         return ms
 
-    run_n(static, "full_step_ms")
-    run_n(static._replace(line_interaction_mode=0), "scatter_mode_step_ms")
-
-    # ablations via monkeypatching kernel internals
-    orig_pred = K.predicate_search
-    orig_tss = K.tiled_searchsorted
-    orig_chain = K._chain_emission
-    orig_uni = K._uniform_from_key
-
-    K.predicate_search = (
-        lambda pt, shell, lo, hi, *a, **k: jnp.minimum(lo + 1, hi)
-    )
-    run_n(static, "no_predicate_search_ms")
-    K.predicate_search = orig_pred
-
     def fake_tss(tt, v, side="left"):
         return jnp.clip(v.astype(jnp.int32), 0, tt.n)
-
-    K.tiled_searchsorted = fake_tss
-    run_n(static, "no_tiled_searchsorted_ms")
-    K.tiled_searchsorted = orig_tss
-
-    K._chain_emission = lambda tables, static, i_event, shell, keys: i_event
-    run_n(static, "no_chain_emission_ms")
-    K._chain_emission = orig_chain
 
     def fake_uniform(keys, tag):
         return jnp.full((keys.shape[0],), 0.5, jnp.float32)
 
-    K._uniform_from_key = fake_uniform
-    run_n(static, "no_rng_ms")
-    K._uniform_from_key = orig_uni
+    variants = {
+        "full_step_ms": (None, None),
+        "scatter_mode_step_ms": (None, None),
+        "no_predicate_search_ms": (
+            "predicate_search",
+            lambda pt, shell, lo, hi, *a, **k: jnp.minimum(lo + 1, hi),
+        ),
+        "no_tiled_searchsorted_ms": ("tiled_searchsorted", fake_tss),
+        "no_chain_emission_ms": (
+            "_chain_emission",
+            lambda tables, static, i_event, shell, keys: i_event,
+        ),
+        "no_rng_ms": ("_uniform_from_key", fake_uniform),
+        "no_line_scatter_ms": (None, None),
+        "no_out_scatter_ms": (None, None),
+    }
+    for label, (attr, fake) in variants.items():
+        if args.only and args.only != label:
+            continue
+        st = static
+        if label == "scatter_mode_step_ms":
+            st = static._replace(line_interaction_mode=0)
+        orig = getattr(K, attr) if attr else None
+        if attr:
+            setattr(K, attr, fake)
+        if label == "no_line_scatter_ms":
+            K._DISABLE_LINE_SCATTER = True
+        if label == "no_out_scatter_ms":
+            K._DISABLE_OUT_SCATTER = True
+        try:
+            run_n(st, label)
+        finally:
+            if attr:
+                setattr(K, attr, orig)
+            K._DISABLE_LINE_SCATTER = False
+            K._DISABLE_OUT_SCATTER = False
 
 
 if __name__ == "__main__":

@@ -76,6 +76,7 @@ def bench_transport(
     max_level_jump=80,
     mode="scatter",
     repeats=2,
+    chunk_size=524288,
 ):
     import jax
 
@@ -123,6 +124,7 @@ def bench_transport(
             tables, static, pool_mu, pool_nu, run_key,
             n_packets=n_packets, batch_size=batch,
             tail_batch=min(2048, batch // 4) if batch >= 8192 else 0,
+            chunk_size=chunk_size,
         )
         jax.block_until_ready(carry)
         times.append(time.time() - t0)
@@ -151,6 +153,7 @@ def main():
     ap.add_argument("--jump", type=int, default=80)
     ap.add_argument("--mode", default="scatter")
     ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--chunk", type=int, default=524288)
     args = ap.parse_args()
     out = bench_transport(
         n_packets=args.packets,
@@ -159,6 +162,7 @@ def main():
         max_level_jump=args.jump,
         mode=args.mode,
         repeats=args.repeats,
+        chunk_size=args.chunk,
     )
     print(json.dumps(out))
 

@@ -226,6 +226,10 @@ MONTECARLO_SCHEMA = obj(
         # TPU-native extensions
         "batch_size": num(65536),
         "use_macro_chain": anyval("auto"),
+        "packet_source": string(
+            default="auto",
+            enum=["auto", "simple", "weighted", "relativistic"],
+        ),
     },
     required=True,
 )

@@ -96,6 +96,9 @@ def run_transport_sharded(
         est_j = lax.psum(carry.est_j, "packets")
         est_nubar = lax.psum(carry.est_nubar, "packets")
         line_diff = lax.psum(carry.line_diff, "packets")
+        line_lo = lax.psum(carry.line_lo, "packets")
+        est_j_lo = lax.psum(carry.est_j_lo, "packets")
+        est_nubar_lo = lax.psum(carry.est_nubar_lo, "packets")
         n_steps = lax.pmax(carry.n_steps, "packets")
         n_events = lax.psum(carry.n_events, "packets")
         vp_count = lax.psum(carry.vp_count, "packets")
@@ -103,6 +106,9 @@ def run_transport_sharded(
             est_j=est_j,
             est_nubar=est_nubar,
             line_diff=line_diff,
+            line_lo=line_lo,
+            est_j_lo=est_j_lo,
+            est_nubar_lo=est_nubar_lo,
             vp_count=vp_count,
             n_steps=n_steps,
             n_events=n_events,
@@ -111,6 +117,8 @@ def run_transport_sharded(
             reduced = reduced._replace(
                 cont_moments=lax.psum(carry.cont_moments, "packets"),
                 est_ff_heat=lax.psum(carry.est_ff_heat, "packets"),
+                cont_lo=lax.psum(carry.cont_lo, "packets"),
+                ff_lo=lax.psum(carry.ff_lo, "packets"),
             )
         return reduced
 
@@ -138,6 +146,11 @@ def run_transport_sharded(
         est_ff_heat=P(),
         n_steps=P(),
         n_events=P(),
+        line_lo=P(),
+        est_j_lo=P(),
+        est_nubar_lo=P(),
+        cont_lo=P(),
+        ff_lo=P(),
     )
     f = shard_map(
         local_run,

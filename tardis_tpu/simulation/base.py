@@ -160,6 +160,7 @@ class Simulation:
                 "disable_line_scattering", False
             ),
             batch_size=config.montecarlo.get("batch_size", 65536),
+            packet_source=config.montecarlo.get("packet_source", "auto"),
             track_last_interaction=bool(
                 config.montecarlo.get("tracking", {}).get(
                     "track_last_interaction", True

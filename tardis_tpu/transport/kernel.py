@@ -46,7 +46,7 @@ from tardis_tpu.transport.tiled_search import (
     tiled_searchsorted,
 )
 from tardis_tpu.utils.search import searchsorted_unrolled
-from tardis_tpu.utils.twofloat import df32_diff
+from tardis_tpu.utils.twofloat import df32_accumulate, df32_diff
 
 F32 = jnp.float32
 I32 = jnp.int32
@@ -55,6 +55,10 @@ STATUS_IN_PROCESS = 0
 STATUS_EMITTED = 1
 STATUS_REABSORBED = 2
 TILE_128 = 128
+
+# ablation hooks for benchmarks/probe_step2 (trace-time; never set in prod)
+_DISABLE_LINE_SCATTER = False
+_DISABLE_OUT_SCATTER = False
 
 # RNG draw tags
 _TAG_TAU = 0
@@ -107,6 +111,50 @@ class TransportCarry(NamedTuple):
     # diagnostics
     n_steps: jnp.ndarray  # i32 scalar
     n_events: jnp.ndarray  # i64-ish f32 accumulator
+    # ---- two-float low parts of the accumulators (compensated summation;
+    # hi + lo tracks the f64 value — replaces the reference's f64
+    # accumulators, estimators/estimators_bulk.py:15) ----
+    line_lo: jnp.ndarray = jnp.zeros((1, 2), jnp.float32)
+    est_j_lo: jnp.ndarray = jnp.zeros(1, jnp.float32)
+    est_nubar_lo: jnp.ndarray = jnp.zeros(1, jnp.float32)
+    cont_lo: jnp.ndarray = jnp.zeros((1, 8), jnp.float32)
+    ff_lo: jnp.ndarray = jnp.zeros(1, jnp.float32)
+
+    # ---- f64 views combining (hi, lo) pairs ----
+    def line_diff_f64(self):
+        import numpy as np
+
+        return np.asarray(self.line_diff, np.float64) + np.asarray(
+            self.line_lo, np.float64
+        )
+
+    def est_j_f64(self):
+        import numpy as np
+
+        return np.asarray(self.est_j, np.float64) + np.asarray(
+            self.est_j_lo, np.float64
+        )
+
+    def est_nubar_f64(self):
+        import numpy as np
+
+        return np.asarray(self.est_nubar, np.float64) + np.asarray(
+            self.est_nubar_lo, np.float64
+        )
+
+    def cont_moments_f64(self):
+        import numpy as np
+
+        return np.asarray(self.cont_moments, np.float64) + np.asarray(
+            self.cont_lo, np.float64
+        )
+
+    def est_ff_heat_f64(self):
+        import numpy as np
+
+        return np.asarray(self.est_ff_heat, np.float64) + np.asarray(
+            self.ff_lo, np.float64
+        )
 
     # ---- unpacking views (compatibility accessors) ----
     @property
@@ -332,6 +380,7 @@ def make_transport_step(
     n_packets: int,
     base_key,
     pid_offset=0,
+    pool_w=None,
 ):
     """Build the per-event step function for lax.while_loop."""
     S = static.n_lines and static.n_shells  # noqa - readability below
@@ -373,6 +422,11 @@ def make_transport_step(
             inv_dop = 1.0 / (1.0 - b_mu * beta_inner)
             b_nu = b_nu_cmf * inv_dop
             b_energy = inv_dop
+        if pool_w is not None:
+            # per-packet statistical weights (weighted / relativistic
+            # sources; reference black_body_weighted.py:9,
+            # black_body_relativistic.py:148-179)
+            b_energy = b_energy * pool_w[ids_c]
 
         r = jnp.where(can_fill, beta_inner, carry.r)
         mu = jnp.where(can_fill, b_mu, carry.mu)
@@ -588,9 +642,13 @@ def make_transport_step(
         path = distance * dop if static.enable_full_relativity else distance
         w_j = live_f * e_com * path
         onehot = (shell_c[:, None] == jnp.arange(S)[None, :]).astype(F32)
-        est_j = carry.est_j + jnp.sum(w_j[:, None] * onehot, axis=0)
-        est_nubar = carry.est_nubar + jnp.sum(
-            (w_j * nu_cmf)[:, None] * onehot, axis=0
+        est_j, est_j_lo = df32_accumulate(
+            carry.est_j, carry.est_j_lo,
+            jnp.sum(w_j[:, None] * onehot, axis=0),
+        )
+        est_nubar, est_nubar_lo = df32_accumulate(
+            carry.est_nubar, carry.est_nubar_lo,
+            jnp.sum((w_j * nu_cmf)[:, None] * onehot, axis=0),
         )
 
         if static.enable_continuum:
@@ -607,15 +665,19 @@ def make_transport_step(
                  wb * nu_cmf, live_f, jnp.zeros_like(w_j)],
                 axis=1,
             )
-            cont_moments = carry.cont_moments.at[m_idx].add(
+            mdelta = jnp.zeros_like(carry.cont_moments).at[m_idx].add(
                 mrows, mode="drop"
             )
-            est_ff_heat = carry.est_ff_heat + jnp.sum(
-                (w_j * chi_ff)[:, None] * onehot, axis=0
+            cont_moments, cont_lo = df32_accumulate(
+                carry.cont_moments, carry.cont_lo, mdelta
+            )
+            est_ff_heat, ff_lo = df32_accumulate(
+                carry.est_ff_heat, carry.ff_lo,
+                jnp.sum((w_j * chi_ff)[:, None] * onehot, axis=0),
             )
         else:
-            cont_moments = carry.cont_moments
-            est_ff_heat = carry.est_ff_heat
+            cont_moments, cont_lo = carry.cont_moments, carry.cont_lo
+            est_ff_heat, ff_lo = carry.est_ff_heat, carry.ff_lo
 
         if static.enable_full_relativity:
             # increments are line-independent: E/nu and E (reference
@@ -631,7 +693,15 @@ def make_transport_step(
         idx_cat = jnp.concatenate([idx_a, idx_b])
         w12 = jnp.stack([w1, w2], axis=1)  # (B, 2)
         vals_cat = jnp.concatenate([w12, -w12])  # (2B, 2)
-        line_diff = carry.line_diff.at[idx_cat].add(vals_cat)
+        if _DISABLE_LINE_SCATTER:
+            line_diff, line_lo = carry.line_diff, carry.line_lo
+        else:
+            ldelta = jnp.zeros_like(carry.line_diff).at[idx_cat].add(
+                vals_cat
+            )
+            line_diff, line_lo = df32_accumulate(
+                carry.line_diff, carry.line_lo, ldelta
+            )
 
         # ------------------------------------------------ 5. move
         r_new = jnp.sqrt(
@@ -835,7 +905,12 @@ def make_transport_step(
         out_rows = jnp.stack(
             [nu, energy, status_val, jnp.zeros_like(nu)], axis=1
         )
-        out_packed = carry.out_packed.at[out_idx].set(out_rows, mode="drop")
+        if _DISABLE_OUT_SCATTER:
+            out_packed = carry.out_packed
+        else:
+            out_packed = carry.out_packed.at[out_idx].set(
+                out_rows, mode="drop"
+            )
         alive = alive & ~dying
         event_idx = event_idx + 1
 
@@ -862,6 +937,11 @@ def make_transport_step(
             est_ff_heat=est_ff_heat,
             n_steps=carry.n_steps + 1,
             n_events=carry.n_events + jnp.sum(alive.astype(F32)),
+            line_lo=line_lo,
+            est_j_lo=est_j_lo,
+            est_nubar_lo=est_nubar_lo,
+            cont_lo=cont_lo,
+            ff_lo=ff_lo,
         )
 
     return step
@@ -909,6 +989,15 @@ def init_carry(static: TransportStaticConfig, batch_size: int, n_packets: int):
         est_ff_heat=z(S if static.enable_continuum else 1, F32),
         n_steps=jnp.zeros((), I32),
         n_events=jnp.zeros((), F32),
+        line_lo=z(((L + 1) * S, 2), F32),
+        est_j_lo=z(S, F32),
+        est_nubar_lo=z(S, F32),
+        cont_lo=z(
+            ((static.n_cont_grid - 1) * S if static.enable_continuum else 1,
+             8),
+            F32,
+        ),
+        ff_lo=z(S if static.enable_continuum else 1, F32),
     )
 
 
@@ -924,6 +1013,7 @@ def transport_loop(
     pid_offset=0,
     carry0: TransportCarry | None = None,
     tail_threshold: int = 0,
+    pool_w=None,
 ):
     """The transport while-loop (traceable; used directly under shard_map).
 
@@ -933,7 +1023,8 @@ def transport_loop(
     per-packet counter RNG makes the result bitwise identical either way.
     """
     step = make_transport_step(
-        tables, static, pool_mu, pool_nu_cmf, n_packets, base_key, pid_offset
+        tables, static, pool_mu, pool_nu_cmf, n_packets, base_key, pid_offset,
+        pool_w=pool_w,
     )
     if carry0 is None:
         carry0 = init_carry(static, batch_size, n_packets)
@@ -965,10 +1056,12 @@ def run_transport_main(
     batch_size: int,
     max_steps: int = 1 << 30,
     tail_threshold: int = 0,
+    pool_w=None,
 ):
     return transport_loop(
         tables, static, pool_mu, pool_nu_cmf, base_key,
         n_packets, batch_size, max_steps, tail_threshold=tail_threshold,
+        pool_w=pool_w,
     )
 
 
@@ -987,10 +1080,11 @@ def run_transport_tailphase(
     n_packets: int,
     tail_batch: int,
     max_steps: int = 1 << 30,
+    pool_w=None,
 ):
     return transport_loop(
         tables, static, pool_mu, pool_nu_cmf, base_key,
-        n_packets, tail_batch, max_steps, carry0=carry0,
+        n_packets, tail_batch, max_steps, carry0=carry0, pool_w=pool_w,
     )
 
 
@@ -1005,6 +1099,7 @@ def run_transport(
     max_steps: int = 1 << 30,
     tail_batch: int = 0,
     chunk_size: int = 524288,
+    pool_w=None,
 ):
     """Run transport for all n_packets on one device; returns final carry.
 
@@ -1025,18 +1120,20 @@ def run_transport(
         return _run_transport_chunked(
             tables, static, pool_mu, pool_nu_cmf, base_key,
             n_packets, batch_size, max_steps, tail_batch, chunk_size,
+            pool_w=pool_w,
         )
     if tail_batch <= 0 or tail_batch >= batch_size:
         return run_transport_main(
             tables, static, pool_mu, pool_nu_cmf, base_key,
             n_packets=n_packets, batch_size=batch_size, max_steps=max_steps,
+            pool_w=pool_w,
         )
     import numpy as np
 
     carry = run_transport_main(
         tables, static, pool_mu, pool_nu_cmf, base_key,
         n_packets=n_packets, batch_size=batch_size, max_steps=max_steps,
-        tail_threshold=tail_batch,
+        tail_threshold=tail_batch, pool_w=pool_w,
     )
     alive = np.asarray(carry.alive)
     n_alive = int(alive.sum())
@@ -1066,12 +1163,13 @@ def run_transport(
     return run_transport_tailphase(
         tables, static, pool_mu, pool_nu_cmf, base_key, tail0,
         n_packets=n_packets, tail_batch=tail_batch, max_steps=max_steps,
+        pool_w=pool_w,
     )
 
 
 def _run_transport_chunked(
     tables, static, pool_mu, pool_nu_cmf, base_key,
-    n_packets, batch_size, max_steps, tail_batch, chunk_size,
+    n_packets, batch_size, max_steps, tail_batch, chunk_size, pool_w=None,
 ):
     import numpy as np
 
@@ -1088,6 +1186,10 @@ def _run_transport_chunked(
             max_steps=max_steps,
             tail_batch=tail_batch if n_local >= 4 * tail_batch else 0,
             pid_offset=start,
+            pool_w=(
+                None if pool_w is None
+                else pool_w[start : start + n_local]
+            ),
         )
         carries.append(c)
     first = carries[0]
@@ -1109,11 +1211,16 @@ def _run_transport_chunked(
         n_steps=tot("n_steps"),
         n_events=tot("n_events"),
         vp_count=tot("vp_count"),
+        line_lo=tot("line_lo"),
+        est_j_lo=tot("est_j_lo"),
+        est_nubar_lo=tot("est_nubar_lo"),
     )
     if static.enable_continuum:
         merged = merged._replace(
             cont_moments=tot("cont_moments"),
             est_ff_heat=tot("est_ff_heat"),
+            cont_lo=tot("cont_lo"),
+            ff_lo=tot("ff_lo"),
         )
     if static.vpacket_capacity > 0:
         merged = merged._replace(vp_packed=cat("vp_packed"))
@@ -1126,7 +1233,7 @@ def _run_transport_chunked(
 
 def transport_chunk(
     tables, static, pool_mu, pool_nu_cmf, base_key,
-    n_packets, batch_size, max_steps, tail_batch, pid_offset,
+    n_packets, batch_size, max_steps, tail_batch, pid_offset, pool_w=None,
 ):
     """One chunk with a global pid offset (RNG-compatible with unchunked)."""
     if tail_batch <= 0 or tail_batch >= batch_size:
@@ -1134,7 +1241,7 @@ def transport_chunk(
             tables, static, pool_mu, pool_nu_cmf, base_key,
             jnp.asarray(pid_offset, I32),
             n_packets=n_packets, batch_size=batch_size, max_steps=max_steps,
-            tail_threshold=0,
+            tail_threshold=0, pool_w=pool_w,
         )
     import numpy as np
 
@@ -1142,7 +1249,7 @@ def transport_chunk(
         tables, static, pool_mu, pool_nu_cmf, base_key,
         jnp.asarray(pid_offset, I32),
         n_packets=n_packets, batch_size=batch_size, max_steps=max_steps,
-        tail_threshold=tail_batch,
+        tail_threshold=tail_batch, pool_w=pool_w,
     )
     alive = np.asarray(carry.alive)
     n_alive = int(alive.sum())
@@ -1166,6 +1273,7 @@ def transport_chunk(
         tables, static, pool_mu, pool_nu_cmf, base_key, tail0,
         jnp.asarray(pid_offset, I32),
         n_packets=n_packets, tail_batch=tail_batch, max_steps=max_steps,
+        pool_w=pool_w,
     )
 
 
@@ -1176,12 +1284,12 @@ def transport_chunk(
 )
 def _run_chunk_jit(
     tables, static, pool_mu, pool_nu_cmf, base_key, pid_offset,
-    n_packets, batch_size, max_steps, tail_threshold,
+    n_packets, batch_size, max_steps, tail_threshold, pool_w=None,
 ):
     return transport_loop(
         tables, static, pool_mu, pool_nu_cmf, base_key,
         n_packets, batch_size, max_steps, pid_offset=pid_offset,
-        tail_threshold=tail_threshold,
+        tail_threshold=tail_threshold, pool_w=pool_w,
     )
 
 
@@ -1192,10 +1300,10 @@ def _run_chunk_jit(
 )
 def _run_tail_jit(
     tables, static, pool_mu, pool_nu_cmf, base_key, carry0, pid_offset,
-    n_packets, tail_batch, max_steps,
+    n_packets, tail_batch, max_steps, pool_w=None,
 ):
     return transport_loop(
         tables, static, pool_mu, pool_nu_cmf, base_key,
         n_packets, tail_batch, max_steps, pid_offset=pid_offset,
-        carry0=carry0,
+        carry0=carry0, pool_w=pool_w,
     )

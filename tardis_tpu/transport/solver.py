@@ -99,7 +99,12 @@ class TransportSolver:
         track_rpacket_length: int = 0,
         inner_boundary_albedo: float = 0.0,
         use_macro_chain: bool | str = "auto",
+        packet_source: str = "auto",
     ):
+        # packet source selection (reference
+        # parse_packet_source_configuration.py:49-77: relativistic source
+        # iff enable_full_relativity; "weighted" additionally exposed)
+        self.packet_source = packet_source
         # "auto": absorbing-chain macro-atom sampling when the chain tables
         # fit the device budget (see solve_macro_chain), RNG walk otherwise
         self.use_macro_chain = use_macro_chain
@@ -197,9 +202,35 @@ class TransportSolver:
         src_key = jax.random.fold_in(base_key, 2 * iteration)
         run_key = jax.random.fold_in(base_key, 2 * iteration + 1)
 
-        pool_mu, pool_nu_cmf = sample_blackbody_packets(
-            src_key, n_packets, sim_state.t_inner
-        )
+        src = self.packet_source
+        if src == "auto":
+            src = (
+                "relativistic" if static.enable_full_relativity else "simple"
+            )
+        pool_w = None
+        if src == "weighted":
+            from tardis_tpu.transport.source import (
+                sample_blackbody_packets_weighted,
+            )
+
+            pool_mu, pool_nu_cmf, pool_w = sample_blackbody_packets_weighted(
+                src_key, n_packets, sim_state.t_inner
+            )
+        elif src == "relativistic":
+            from tardis_tpu.transport.source import (
+                sample_blackbody_packets_relativistic,
+            )
+
+            beta_inner = float(geometry.r_inner[0] / ct)
+            pool_mu, pool_nu_cmf, pool_w = (
+                sample_blackbody_packets_relativistic(
+                    src_key, n_packets, sim_state.t_inner, beta_inner
+                )
+            )
+        else:
+            pool_mu, pool_nu_cmf = sample_blackbody_packets(
+                src_key, n_packets, sim_state.t_inner
+            )
 
         batch = min(self.batch_size, n_packets)
         carry = run_transport(
@@ -211,6 +242,7 @@ class TransportSolver:
             n_packets=n_packets,
             batch_size=batch,
             tail_batch=min(2048, batch // 4) if batch >= 8192 else 0,
+            pool_w=pool_w,
         )
 
         virt_hist = None
@@ -270,14 +302,13 @@ class TransportSolver:
         S = sim_state.no_of_shells
         L = atom_data.n_lines
 
-        est_j = np.asarray(carry.est_j, dtype=np.float64) * e0 * ct
-        est_nubar = (
-            np.asarray(carry.est_nubar, dtype=np.float64) * e0 * ct * NU_UNIT
-        )
+        # (hi, lo) compensated accumulators -> f64
+        est_j = carry.est_j_f64() * e0 * ct
+        est_nubar = carry.est_nubar_f64() * e0 * ct * NU_UNIT
 
         # difference-array -> per-line estimators
         nu_scaled = atom_data.line_nu / NU_UNIT
-        line_diff = np.asarray(carry.line_diff, dtype=np.float64)
+        line_diff = carry.line_diff_f64()
         jb = np.cumsum(line_diff[:, 0].reshape(L + 1, S), axis=0)[:L]
         ed = np.cumsum(line_diff[:, 1].reshape(L + 1, S), axis=0)[:L]
         if full_relativity is None:
@@ -469,7 +500,7 @@ def reconstruct_continuum_estimators(
     grid, xs = build_continuum_grid(pi)  # same build as the kernel tables
     grid_s = grid / NU_UNIT
 
-    m = np.asarray(carry.cont_moments, dtype=np.float64)
+    m = carry.cont_moments_f64()
     cells = len(grid) - 1
     m = m.reshape(cells, S, 8)
     M0, M1, M2 = m[..., 0], m[..., 1], m[..., 2]
@@ -501,7 +532,7 @@ def reconstruct_continuum_estimators(
     active = (xs[:-1] > 0) & (xs[1:] > 0)  # (cells, C)
     stats = np.einsum("gc,gs->cs", active.astype(np.float64), counts)
 
-    ff_heating = np.asarray(carry.est_ff_heat, dtype=np.float64) * e0
+    ff_heating = carry.est_ff_heat_f64() * e0
 
     volume = sim_state.volume
     norm = 1.0 / (time_of_simulation * volume * H)  # (S,)

@@ -90,19 +90,31 @@ def sample_blackbody_packets_weighted(
 def sample_blackbody_packets_relativistic(
     key, n_packets: int, t_inner: float, beta_inner: float
 ):
-    """Relativistic inner-boundary source: angle aberration and
-    time-dilation-weighted mu distribution (reference
-    black_body_relativistic.py:16).  Returns CMF (mu, nu) like the simple
-    source; the kernel's full-relativity birth transform applies gamma
-    factors and aberration.
-    """
-    mu, nu = sample_blackbody_packets(key, n_packets, t_inner)
-    # beaming: reweight mu draws toward the boost direction by resampling
-    # the cosine with the relativistic surface-emission pdf ~ mu(1+beta*mu)
-    def one(pid):
-        k = jax.random.fold_in(jax.random.fold_in(key, pid), 999)
-        u = jax.random.uniform(k, (), dtype=jnp.float32)
-        # inverse-CDF of pdf ~ mu (dominant term); correction via rejection
-        return jnp.sqrt(u)
+    """Relativistic inner-boundary source (reference
+    BlackBodySimpleSourceRelativistic, black_body_relativistic.py:125-179):
 
-    return mu, nu
+    - mu drawn from the static-boundary distribution
+      mu = -beta + sqrt(beta^2 + 2 beta z + z)  (inverse CDF of the
+      relativistically transformed emission pdf);
+    - per-packet weight = (2 beta + 1)/(1 - beta^2)/gamma — the
+      static-boundary -> CMF energy factor with time dilation absorbed
+      (uniform across packets).
+
+    Returns (mu_cmf, nu_cmf, weight); the kernel's full-relativity birth
+    transform applies the per-packet (1 + beta mu) gamma Doppler factors
+    and aberration on top.
+    """
+    beta = jnp.float32(beta_inner)
+    _, nu = sample_blackbody_packets(key, n_packets, t_inner)
+
+    def one(pid):
+        k = jax.random.fold_in(jax.random.fold_in(key, pid), 7)
+        z = jax.random.uniform(k, (), dtype=jnp.float32)
+        return -beta + jnp.sqrt(beta * beta + 2.0 * beta * z + z)
+
+    ids = jnp.arange(n_packets, dtype=jnp.uint32)
+    mu = jax.vmap(one)(ids)
+    gamma = 1.0 / jnp.sqrt(1.0 - beta * beta)
+    w_factor = (2.0 * beta + 1.0) / (1.0 - beta * beta) / gamma
+    w = jnp.full((n_packets,), w_factor, jnp.float32)
+    return mu.astype(jnp.float32), nu, w

@@ -28,11 +28,31 @@ def split_f64_to_f32_pair(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def two_sum(a, b):
-    """Error-free transformation: a+b = s + e exactly (Knuth)."""
+    """Error-free transformation: a+b = s + e exactly (Knuth).
+
+    e = (a - (s - b')) + (b - b') with b' = s - a.  (A previous version had
+    the two error terms' operands crossed, which collapses to e = 0 whenever
+    |b| << |a| — caught by tests/test_estimator_precision.py.)
+    """
     s = a + b
     bb = s - a
-    e = (a - bb) + (b - (s - bb))
+    e = (a - (s - bb)) + (b - bb)
     return s, e
+
+
+def df32_accumulate(hi, lo, x):
+    """(hi, lo) += x with Knuth error compensation; returns new (hi, lo).
+
+    Used for the transport estimator accumulators: the running f32 sums
+    would otherwise swamp small per-step increments over ~1e8-packet runs
+    (reference accumulates in f64,
+    estimators/estimators_bulk.py:15).  hi + lo tracks the f64 sum to
+    ~48 effective bits at plain VPU cost.
+    """
+    s, e = two_sum(hi, x)
+    # renormalize so |lo| stays <= ulp(hi)/2 — without this the lo part
+    # itself swamps over ~1e6 increments
+    return two_sum(s, lo + e)
 
 
 def df32_diff(hi_a, lo_a, hi_b, lo_b):
