@@ -94,8 +94,9 @@ def atom_data_from_hdf(path: str) -> AtomData:
         value_cols = [
             c
             for c in cd.columns
-            if c
+            if str(c)
             not in (
+                "index",
                 "atomic_number",
                 "ion_number",
                 "level_number_lower",
@@ -106,6 +107,7 @@ def atom_data_from_hdf(path: str) -> AtomData:
                 "ttype",
                 "cups",
             )
+            and np.issubdtype(cd[c].dtype, np.number)
         ][: len(temps)]
         yg = cd[value_cols].to_numpy(np.float64)
         cz = cd["atomic_number"].to_numpy(np.int64)

@@ -26,6 +26,7 @@ def make_synthetic_atom_data(
     seed: int = 42,
     continuum_species=(),
     n_photo_ion_points: int = 16,
+    collision_species=(),
 ) -> AtomData:
     """Build a synthetic AtomData.
 
@@ -147,6 +148,33 @@ def make_synthetic_atom_data(
             x_sect=np.concatenate([r[6] for r in cont_rows]),
         )
 
+    # tabulated collision strengths for the requested species
+    # (the synthetic stand-in for the chianti/CMFGEN collision_data tables)
+    collision = None
+    if collision_species:
+        from tardis_tpu.atomic.atom_data import CollisionData
+
+        c_lo, c_up, c_yg = [], [], []
+        temps = np.array([2000.0, 5000.0, 10000.0, 20000.0, 40000.0])
+        for z, ion in collision_species:
+            n_stages = min(int(z), max_ion_stage)
+            if ion >= n_stages:
+                continue
+            for u in range(1, n_levels):
+                for lo in range(max(0, u - 3), u):
+                    c_lo.append(flat[(z, ion, lo)])
+                    c_up.append(flat[(z, ion, u)])
+                    # smooth, T-increasing strengths ~ O(1)/g_l
+                    base = 1.0 + 0.5 * lo + 0.2 * u
+                    c_yg.append(base * (temps / 1e4) ** 0.3)
+        if c_lo:
+            collision = CollisionData(
+                lower_flat=np.asarray(c_lo, np.int32),
+                upper_flat=np.asarray(c_up, np.int32),
+                temperatures=temps,
+                yg=np.asarray(c_yg),
+            )
+
     zs = np.asarray(sorted(set(int(z) for z in atomic_numbers)))
     zeta_t = np.linspace(2000.0, 40000.0, 20)
     zeta_data = {}
@@ -174,5 +202,6 @@ def make_synthetic_atom_data(
         line_ion=line_ion,
         meta={"source": "synthetic", "seed": seed},
         photo_ion=photo_ion,
+        collision=collision,
         zeta_data=zeta_data,
     )

@@ -112,15 +112,37 @@ def write_frame(f: h5py.File, key: str, df: pd.DataFrame):
     grp = f.create_group(key)
     _grp_attrs(grp, "frame")
     grp.attrs["ndim"] = np.int64(2)
-    grp.attrs["nblocks"] = np.int64(1)
     _write_index(grp, "axis0", df.columns)
     _write_index(grp, "axis1", df.index)
-    items = grp.create_dataset("block0_items", data=_index_values(df.columns))
-    _ds_attrs(items, kind=_index_kind(df.columns), name=None)
-    # pandas blocks are (n_items, n_rows); store untransposed
-    vals = np.ascontiguousarray(df.to_numpy().T)
-    ds = grp.create_dataset("block0_values", data=vals)
-    _ds_attrs(ds, transposed=False)
+    # one block per dtype, matching pandas' BlockManager layout
+    blocks: dict[str, list] = {}
+    for col in df.columns:
+        arr = df[col].to_numpy()
+        if arr.dtype.kind in ("O", "U"):
+            kindkey = "S"
+        elif arr.dtype.kind == "b":
+            kindkey = "b"
+        elif arr.dtype.kind in ("i", "u"):
+            kindkey = "i8"
+        else:
+            kindkey = "f8"
+        blocks.setdefault(kindkey, []).append(col)
+    grp.attrs["nblocks"] = np.int64(len(blocks))
+    for b, (kindkey, cols) in enumerate(blocks.items()):
+        items = grp.create_dataset(
+            f"block{b}_items", data=_index_values(pd.Index(cols))
+        )
+        _ds_attrs(items, kind=_index_kind(pd.Index(cols)), name=None)
+        sub = df[cols]
+        if kindkey == "S":
+            vals = np.array(
+                [[str(v).encode() for v in sub[c]] for c in cols], dtype="S"
+            )
+        else:
+            dtype = {"b": np.bool_, "i8": np.int64, "f8": np.float64}[kindkey]
+            vals = np.ascontiguousarray(sub.to_numpy(dtype=dtype).T)
+        ds = grp.create_dataset(f"block{b}_values", data=vals)
+        _ds_attrs(ds, transposed=False)
 
 
 def write_elements(f: h5py.File, path: str, elements: dict):

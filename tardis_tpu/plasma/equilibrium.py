@@ -139,8 +139,7 @@ class KineticEquilibriumSolver:
         r_up = b_lu[:, None] * jb
 
         # van Regemorter collisions (reference collision_strengths.py
-        # approximation path; exact Chianti/CMFGEN strengths would slot in
-        # identically through q_down/q_up)
+        # approximation path)
         i_h = 2.1798724e-11
         de = H * nu
         u0 = np.minimum(de[:, None] / (K_B * t_electrons)[None, :], 500.0)
@@ -156,6 +155,34 @@ class KineticEquilibriumSolver:
             * g_bar
         )
         q_ul = q_lu * (g_l / g_u)[:, None] * np.exp(u0)
+
+        # exact tabulated strengths (Chianti/CMFGEN yg) override the
+        # approximation on covered transitions (reference YgData
+        # combine_first, plasma/properties/atomic.py:688-696)
+        coll = getattr(atom, "collision", None)
+        if coll is not None and len(coll) > 0:
+            from tardis_tpu.plasma.nlte import BETA_COLL, interp_yg
+
+            pair_key = (
+                atom.line_lower_idx[lids].astype(np.int64) << 32
+            ) | atom.line_upper_idx[lids].astype(np.int64)
+            tab_key = (coll.lower_flat.astype(np.int64) << 32) | (
+                coll.upper_flat.astype(np.int64)
+            )
+            order = np.argsort(tab_key)
+            pos = np.searchsorted(tab_key[order], pair_key)
+            pos_c = np.clip(pos, 0, len(tab_key) - 1)
+            hit = tab_key[order][pos_c] == pair_key
+            if hit.any():
+                yg_T = interp_yg(coll, t_electrons)  # (Nc, S)
+                rows = order[pos_c[hit]]
+                pref = BETA_COLL / np.sqrt(t_electrons)[None, :]
+                q_lu_tab = pref * yg_T[rows] * np.exp(-u0[hit])
+                q_ul_tab = (
+                    pref * yg_T[rows] * (g_l[hit] / g_u[hit])[:, None]
+                )
+                q_lu[hit] = q_lu_tab
+                q_ul[hit] = q_ul_tab
         return r_down, r_up, q_ul, q_lu
 
     # ------------------------------------------------------------------

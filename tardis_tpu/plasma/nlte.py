@@ -34,6 +34,24 @@ _B_COEF = 4.0 * np.pi**2 * E_CHARGE**2 / (M_E * H * C)
 # van Regemorter: C_lu ~ 20.6 * lambda^3 ... use the standard form with
 # effective Gaunt factor 0.2 (neutral) / 0.7 (ions)
 _VR_COEF = 5.465e-11  # cm^3 s^-1 sqrt(K) prefactor for rate coefficient
+# BETA_COLL = (h^4 / (8 k_B m_e^3 pi^3))^1/2 — the tabulated-strength rate
+# prefactor (reference equilibrium/rates/collision_strengths.py:62;
+# Przybilla & Butler 2004 eq. A2)
+BETA_COLL = float(
+    np.sqrt(H**4 / (8.0 * K_B * M_E**3 * np.pi**3))
+)
+
+
+def interp_yg(collision, t_electrons: np.ndarray) -> np.ndarray:
+    """yg = Upsilon/g_l linearly interpolated in T_e -> (Nc, S)
+    (reference YgData + UpsilonCMFGENSolver interpolation,
+    plasma/properties/atomic.py:646,
+    equilibrium/rates/collision_strengths.py:75-95)."""
+    temps = collision.temperatures
+    t = np.clip(t_electrons, temps[0], temps[-1])
+    pos = np.clip(np.searchsorted(temps, t), 1, len(temps) - 1)
+    f = (t - temps[pos - 1]) / (temps[pos] - temps[pos - 1])
+    return collision.yg[:, pos - 1] * (1.0 - f) + collision.yg[:, pos] * f
 
 
 def parse_species(spec: str) -> tuple[int, int]:
@@ -106,6 +124,54 @@ def nlte_level_boltzmann_factor(
     r_down = a_ul[:, None] + b_ul[:, None] * jb  # u -> l  (nl, S)
     r_up = b_lu[:, None] * jb  # l -> u
 
+    # tabulated collision strengths where available (reference YgData,
+    # combine_first with the van Regemorter approximation for uncovered
+    # transitions, plasma/properties/atomic.py:688-696)
+    tab_lo = tab_up = None
+    tc_lu = tc_ul = None
+    covered = np.zeros(len(line_ids), dtype=bool)
+    coll = getattr(atom_data, "collision", None)
+    if (
+        coll is not None
+        and len(coll) > 0
+        and electron_densities is not None
+        and t_electrons is not None
+    ):
+        in_sp = sel[coll.lower_flat] & sel[coll.upper_flat]
+        if in_sp.any():
+            lo_f = coll.lower_flat[in_sp]
+            up_f = coll.upper_flat[in_sp]
+            from dataclasses import replace as _dc_replace
+
+            sub = _dc_replace(
+                coll,
+                lower_flat=lo_f,
+                upper_flat=up_f,
+                yg=coll.yg[in_sp],
+            )
+            yg_T = interp_yg(sub, t_electrons)  # (Nc, S)
+            tab_lo = np.array([local[int(i)] for i in lo_f])
+            tab_up = np.array([local[int(i)] for i in up_f])
+            d_e_tab = (
+                atom_data.level_energy[up_f] - atom_data.level_energy[lo_f]
+            )
+            u0_tab = np.minimum(
+                d_e_tab[:, None] / (K_B * t_electrons)[None, :], 500.0
+            )
+            pref = BETA_COLL / np.sqrt(t_electrons)[None, :]
+            q_lu_tab = pref * yg_T * np.exp(-u0_tab)
+            q_ul_tab = pref * yg_T * (g[tab_lo] / g[tab_up])[:, None]
+            tc_lu = q_lu_tab * electron_densities[None, :]
+            tc_ul = q_ul_tab * electron_densities[None, :]
+            # mark line transitions covered by tabulated data
+            K_loc = K
+            tab_keys = set(
+                (int(a) * K_loc + int(b)) for a, b in zip(tab_lo, tab_up)
+            )
+            covered = np.array(
+                [int(a) * K_loc + int(b) in tab_keys for a, b in zip(lo, up)]
+            )
+
     # approximate collisional rates: van Regemorter (1962) from f_lu
     # q_lu = 5.465e-11 sqrt(T_e) 14.5 f_lu (I_H/dE)^2 u0 e^-u0 gbar [cm^3/s]
     if electron_densities is not None and t_electrons is not None:
@@ -128,6 +194,10 @@ def nlte_level_boltzmann_factor(
         c_lu = q_lu * electron_densities[None, :]
         # detailed balance: C_ul = C_lu (g_l/g_u) e^{u0}
         c_ul = c_lu * (g_l / g_u)[:, None] * np.exp(u0)
+        # transitions with tabulated strengths: drop the approximation
+        # (the tabulated pair supplies the collisional rate instead)
+        c_lu = np.where(covered[:, None], 0.0, c_lu)
+        c_ul = np.where(covered[:, None], 0.0, c_ul)
     else:
         c_lu = np.zeros((len(line_ids), S))
         c_ul = np.zeros((len(line_ids), S))
@@ -138,6 +208,9 @@ def nlte_level_boltzmann_factor(
         M = np.zeros((K, K))
         np.add.at(M, (lo, up), r_down[:, s] + c_ul[:, s])  # into l from u
         np.add.at(M, (up, lo), r_up[:, s] + c_lu[:, s])  # into u from l
+        if tab_lo is not None:
+            np.add.at(M, (tab_lo, tab_up), tc_ul[:, s])  # into l from u
+            np.add.at(M, (tab_up, tab_lo), tc_lu[:, s])  # into u from l
         out_rate = -M.sum(axis=0)
         M[np.diag_indices(K)] += out_rate
         # particle conservation closure replaces the last row

@@ -161,6 +161,11 @@ class Simulation:
             ),
             batch_size=config.montecarlo.get("batch_size", 65536),
             packet_source=config.montecarlo.get("packet_source", "auto"),
+            vpacket_tracking=bool(
+                config.spectrum.get("virtual", {}).get(
+                    "virtual_packet_logging", False
+                )
+            ),
             track_last_interaction=bool(
                 config.montecarlo.get("tracking", {}).get(
                     "track_last_interaction", True

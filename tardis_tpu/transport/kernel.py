@@ -93,8 +93,12 @@ class TransportCarry(NamedTuple):
     # outputs: packed rows [nu, energy, status] (scatters are overhead-bound
     # on this stack, so row-packing several writes into one scatter wins)
     out_packed: jnp.ndarray  # (N, 4) f32: nu, energy, status, unused
-    # vpacket spawn records (capacity R; (1,6) dummy when disabled)
-    vp_packed: jnp.ndarray  # (R, 6) f32: r, mu, nu, energy, shell, next_line
+    # vpacket spawn records (capacity R; (1,8) dummy when disabled)
+    # columns: r, mu, nu, energy, shell, next_line, li_type, out_line
+    # (li_type: -1 birth, 1 escat, 2 line, 3 contproc — feeds per-vpacket
+    # tracking, reference virt_packet_* properties,
+    # montecarlo_transport_state.py:33-44)
+    vp_packed: jnp.ndarray  # (R, 8) f32
     vp_count: jnp.ndarray  # i32 scalar (attempted; clamp to capacity on use)
     # full tracker: (N*K, 6) packed event log ((1,6) when disabled)
     tr_packed: jnp.ndarray  # r, nu, energy, shell, type, unused
@@ -461,6 +465,8 @@ def make_transport_step(
                     b_energy,
                     jnp.zeros_like(b_mu),
                     birth_line.astype(F32),
+                    jnp.full_like(b_mu, -1.0),
+                    jnp.full_like(b_mu, -1.0),
                 ],
                 axis=1,
             )
@@ -890,9 +896,15 @@ def make_transport_step(
                 vp_idx2,
                 static.vpacket_capacity + 1,
             )
+            li_type_vp = jnp.where(
+                is_line, 2.0, jnp.where(is_contproc, 3.0, 1.0)
+            )
+            out_line_vp = jnp.where(
+                absorbs, (next_line - 1).astype(F32), -1.0
+            )
             rows2 = jnp.stack(
                 [r, mu, nu, energy, shell.astype(F32),
-                 next_line.astype(F32)],
+                 next_line.astype(F32), li_type_vp, out_line_vp],
                 axis=1,
             )
             vp_packed = vp_packed.at[widx2].set(rows2, mode="drop")
@@ -973,7 +985,7 @@ def init_carry(static: TransportStaticConfig, batch_size: int, n_packets: int):
         est_nubar=z(S, F32),
         line_diff=z(((L + 1) * S, 2), F32),
         out_packed=z((n_packets, 4), F32),
-        vp_packed=z((R, 6), F32),
+        vp_packed=z((R, 8), F32),
         vp_count=jnp.zeros((), I32),
         tr_packed=z((TRK, 6), F32),
         li_packed=z((T, 6), F32),

@@ -69,6 +69,10 @@ class TransportResult:
     # 1/(dt V h) (rates) and 1/(dt V) (heatings) but NOT radiation-field
     # damped — the IIP workflow applies the damping factor
     continuum: object | None = None  # plasma.continuum.ContinuumEstimators
+    # per-vpacket tracking (None unless vpacket_tracking enabled): dict of
+    # reference-named virt_packet_* arrays
+    # (montecarlo_transport_state.py:33-44)
+    vpackets: dict | None = None
 
     @property
     def emitted_mask(self):
@@ -94,6 +98,7 @@ class TransportSolver:
         batch_size: int = 65536,
         w_epsilon: float = 1e-10,
         vpacket_records_per_packet: int = 8,
+        vpacket_tracking: bool = False,
         track_last_interaction: bool = False,
         enable_full_relativity: bool = False,
         track_rpacket_length: int = 0,
@@ -114,6 +119,7 @@ class TransportSolver:
         self.batch_size = batch_size
         self.w_epsilon = w_epsilon
         self.vpacket_records_per_packet = vpacket_records_per_packet
+        self.vpacket_tracking = vpacket_tracking
         self.track_last_interaction = track_last_interaction
         self.enable_full_relativity = enable_full_relativity
         self.track_rpacket_length = track_rpacket_length
@@ -247,6 +253,7 @@ class TransportSolver:
 
         virt_hist = None
         virt_edges = None
+        vpackets = None
         if n_vpackets > 0:
             from tardis_tpu.transport.device_state import NU_UNIT
             from tardis_tpu.transport.vpacket import trace_vpacket_records
@@ -257,7 +264,7 @@ class TransportSolver:
             spawn_lo, spawn_hi = 0.0, np.inf
             if vpacket_spawn_nu_range is not None:
                 spawn_lo, spawn_hi = vpacket_spawn_nu_range
-            hist = trace_vpacket_records(
+            out = trace_vpacket_records(
                 tables,
                 static,
                 carry.vp_packed[:, 0],
@@ -275,7 +282,35 @@ class TransportSolver:
                     if np.isfinite(spawn_hi)
                     else np.inf
                 ),
+                return_packets=self.vpacket_tracking,
             )
+            if self.vpacket_tracking:
+                hist, vnu, ve, rec_idx = out
+                e0 = 1.0 / n_packets
+                keep = np.asarray(ve) > 0
+                rec = np.asarray(rec_idx)[keep]
+                vp = np.asarray(carry.vp_packed, np.float64)
+                # reference virt_packet_* naming
+                # (montecarlo_transport_state.py:33-44)
+                vpackets = {
+                    "virt_packet_nus": np.asarray(vnu, np.float64)[keep]
+                    * NU_UNIT,
+                    "virt_packet_energies": np.asarray(ve, np.float64)[keep]
+                    * e0,
+                    "virt_packet_initial_rs": vp[rec, 0]
+                    * (C * sim_state.time_explosion),
+                    "virt_packet_initial_mus": vp[rec, 1],
+                    "virt_packet_last_interaction_in_nu": vp[rec, 2]
+                    * NU_UNIT,
+                    "virt_packet_last_interaction_type": vp[rec, 6].astype(
+                        np.int8
+                    ),
+                    "virt_packet_last_line_interaction_out_id": vp[
+                        rec, 7
+                    ].astype(np.int32),
+                }
+            else:
+                hist = out
             virt_hist = np.asarray(hist, dtype=np.float64)
 
         return self._finalize(
@@ -285,12 +320,13 @@ class TransportSolver:
                 self.enable_full_relativity or continuum_state is not None
             ),
             continuum_enabled=continuum_state is not None,
+            vpackets=vpackets,
         )
 
     # ------------------------------------------------------------------
     def _finalize(self, carry, sim_state, atom_data, n_packets,
                   virt_edges=None, virt_hist=None, full_relativity=None,
-                  continuum_enabled=False) -> TransportResult:
+                  continuum_enabled=False, vpackets=None) -> TransportResult:
         """Convert kernel-unit estimators to physical cgs.
 
         Kernel units: length ct, frequency NU_UNIT, energy E0 = 1/N erg
@@ -369,6 +405,7 @@ class TransportSolver:
                 None if virt_hist is None else virt_hist * e0
             ),
             vp_records=int(carry.vp_count),
+            vpackets=vpackets,
             time_of_simulation=time_of_simulation,
             n_packets=n_packets,
             n_events=float(carry.n_events),

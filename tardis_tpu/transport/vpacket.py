@@ -105,7 +105,7 @@ def _trace_tau(tables, static, r0, mu, shell0, next_line, nu_lab):
 
 @partial(
     jax.jit,
-    static_argnames=("static", "n_vpackets", "n_bins"),
+    static_argnames=("static", "n_vpackets", "n_bins", "return_packets"),
 )
 def trace_vpacket_records(
     tables: TransportTables,
@@ -121,6 +121,7 @@ def trace_vpacket_records(
     n_bins: int,
     spawn_nu_min=0.0,
     spawn_nu_max=jnp.inf,
+    return_packets: bool = False,
 ):
     """Trace all spawn records x n_vpackets; return spectrum histogram.
 
@@ -176,4 +177,13 @@ def trace_vpacket_records(
     )
     in_range = (nu_flat >= nu_bin_edges[0]) & (nu_flat < nu_bin_edges[-1])
     e_out = jnp.where(in_range, e_out, 0.0)
-    return jnp.zeros(n_bins, F32).at[bins].add(e_out)
+    hist = jnp.zeros(n_bins, F32).at[bins].add(e_out)
+    if return_packets:
+        # per-vpacket tracking (reference consolidate_vpacket_tracker /
+        # virt_packet_* HDF properties, packet_collections.py +
+        # montecarlo_transport_state.py:33-44)
+        rec_idx = jnp.broadcast_to(
+            jnp.arange(R, dtype=I32)[None, :], (V, R)
+        ).reshape(-1)
+        return hist, nu_flat, e_out, rec_idx
+    return hist

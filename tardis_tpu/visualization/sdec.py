@@ -1,22 +1,58 @@
 """Spectral element DEComposition (SDEC) plot.
 
 Counterpart of the reference's ``SDECPlotter``
-(/root/reference/tardis/visualization/tools/sdec_plot.py:30): decomposes the
-emergent spectrum into per-species emission contributions (by the species of
-each escaping packet's last line interaction), a no-interaction photosphere
-component, and an electron-scattering-only component; plus per-species
-absorption (photon energy last absorbed per wavelength bin).
+(/root/reference/tardis/visualization/tools/sdec_plot.py:30, 1569 LoC):
+
+- **emission decomposition**: emergent luminosity split by the species of
+  each escaping packet's last line interaction, plus a no-interaction
+  (photosphere) and an electron-scattering-only component;
+- **absorption decomposition**: the luminosity each species removed from
+  the field, binned at the *absorbed* frequency of escaping packets' last
+  line absorptions (plotted downward, as in the reference);
+- **packets_mode**: "real" (escaping r-packets + last-interaction tracker)
+  or "virtual" (per-vpacket tracking, virt_packet_* arrays);
+- **species filtering / top-N grouping**: ``species_list`` like
+  ["Si II", "Ca", ...] or ``nelements`` keeps the strongest contributors
+  and folds the rest into "other";
+- **backends**: matplotlib (``generate_plot_mpl``) and plotly
+  (``generate_plot_ply``).
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-from tardis_tpu.atomic.atom_data import ATOMIC_SYMBOLS
+from tardis_tpu.atomic.atom_data import ATOMIC_SYMBOLS, SYMBOL_TO_Z
 from tardis_tpu.constants import C
 
 
+def _parse_species_list(species_list):
+    """["Si II", "Ca", "S I-III"] -> set of (Z, ion) pairs (ion=None => all
+    ions of the element), mirroring the reference's _parse_species_list."""
+    if species_list is None:
+        return None
+    roman = {"I": 0, "II": 1, "III": 2, "IV": 3, "V": 4, "VI": 5,
+             "VII": 6, "VIII": 7}
+    out = set()
+    for token in species_list:
+        parts = token.replace("_", " ").split()
+        z = SYMBOL_TO_Z[parts[0].capitalize()]
+        if len(parts) == 1:
+            out.add((z, None))
+        elif "-" in parts[1]:
+            a, b = parts[1].split("-")
+            for i in range(roman[a], roman[b] + 1):
+                out.add((z, i))
+        else:
+            ion = roman.get(parts[1])
+            ion = int(parts[1]) - 1 if ion is None else ion
+            out.add((z, ion))
+    return out
+
+
 class SDECPlotter:
+    """Decompose a finished simulation's spectrum by interaction species."""
+
     def __init__(self, sim):
         res = sim.last_transport_result
         if res is None or res.last_interaction is None:
@@ -25,75 +61,237 @@ class SDECPlotter:
         self.res = res
         self.atom = sim.atom_data
 
-    def _decompose(self, nu_edges):
+    # ------------------------------------------------------------------
+    def _packet_arrays(self, packets_mode):
+        """(nu_out, e_out, nu_in, li_type, in_line, out_line) for the chosen
+        packet population."""
         res = self.res
-        li = res.last_interaction
-        emitted = res.output_status == 1
-        dt = res.time_of_simulation
-        d_nu = np.diff(nu_edges)
-
-        def hist(mask):
-            h, _ = np.histogram(
-                res.output_nu[mask], bins=nu_edges,
-                weights=res.output_energy[mask],
+        if packets_mode == "real":
+            li = res.last_interaction
+            m = res.output_status == 1
+            return (
+                res.output_nu[m],
+                res.output_energy[m] / res.time_of_simulation,
+                li["in_nu"][m],
+                li["type"][m],
+                li["in_line"][m],
+                li["out_line"][m],
             )
-            return h / dt / d_nu
+        if packets_mode == "virtual":
+            vp = res.vpackets
+            if vp is None:
+                raise ValueError(
+                    "virtual packets_mode needs vpacket_tracking "
+                    "(spectrum.virtual.virtual_packet_logging) enabled"
+                )
+            out_line = vp["virt_packet_last_line_interaction_out_id"]
+            return (
+                vp["virt_packet_nus"],
+                vp["virt_packet_energies"] / res.time_of_simulation,
+                vp["virt_packet_last_interaction_in_nu"],
+                vp["virt_packet_last_interaction_type"],
+                out_line,  # spawn records do not retain the absorbed line id
+                out_line,
+            )
+        raise ValueError(f"unknown packets_mode {packets_mode!r}")
 
-        no_interaction = emitted & (li["type"] == 0)
-        escat_only = emitted & (li["type"] == 1)
-        line_mask = emitted & (li["type"] == 2)
-
-        components = {
-            "photosphere": hist(no_interaction),
-            "e-scattering": hist(escat_only),
-        }
-        out_z = np.where(
-            li["out_line"] >= 0, self.atom.line_z[li["out_line"]], -1
+    # ------------------------------------------------------------------
+    def _decompose(self, nu_edges, packets_mode="real", species_filter=None,
+                   nelements=None):
+        nu_out, e_out, nu_in, li_type, in_line, out_line = (
+            self._packet_arrays(packets_mode)
         )
-        for z in np.unique(out_z[line_mask]):
+        d_nu = np.abs(np.diff(nu_edges))
+
+        def hist(nu, w, mask):
+            h, _ = np.histogram(nu[mask], bins=nu_edges, weights=w[mask])
+            return h / d_nu
+
+        # ---- emission side ----
+        no_int = li_type <= 0
+        escat = li_type == 1
+        line_em = (li_type == 2) & (out_line >= 0)
+        emission = {
+            "photosphere": hist(nu_out, e_out, no_int),
+            "e-scattering": hist(nu_out, e_out, escat),
+        }
+        out_z = np.where(out_line >= 0, self.atom.line_z[out_line], -1)
+        out_ion = np.where(out_line >= 0, self.atom.line_ion[out_line], -1)
+
+        # ---- absorption side (energy removed at the absorbed frequency) ----
+        line_abs = (li_type == 2) & (in_line >= 0)
+        in_z = np.where(in_line >= 0, self.atom.line_z[in_line], -1)
+        in_ion = np.where(in_line >= 0, self.atom.line_ion[in_line], -1)
+        absorption = {}
+
+        if species_filter is not None:
+            keys = set(species_filter)
+
+            def allowed(z, ion):
+                return (z, None) in keys or (z, ion) in keys
+
+        else:
+
+            def allowed(z, ion):
+                return True
+
+        for z in np.unique(out_z[line_em]):
             if z <= 0:
                 continue
-            components[ATOMIC_SYMBOLS[z - 1]] = hist(
-                line_mask & (out_z == z)
-            )
-        return components
+            for ion in np.unique(out_ion[line_em & (out_z == z)]):
+                if not allowed(z, ion):
+                    continue
+                label = _species_label(z, ion, species_filter)
+                m = line_em & (out_z == z) & (out_ion == ion)
+                h = hist(nu_out, e_out, m)
+                emission[label] = emission.get(label, 0.0) + h
+        for z in np.unique(in_z[line_abs]):
+            if z <= 0:
+                continue
+            for ion in np.unique(in_ion[line_abs & (in_z == z)]):
+                if not allowed(z, ion):
+                    continue
+                label = _species_label(z, ion, species_filter)
+                m = line_abs & (in_z == z) & (in_ion == ion)
+                h = hist(nu_in, e_out, m)
+                absorption[label] = absorption.get(label, 0.0) + h
 
-    def generate_plot_mpl(self, packets_mode: str = "real", ax=None,
-                          save_path: str | None = None):
+        # ---- top-N grouping ----
+        if nelements is not None:
+            totals = {
+                k: np.sum(v)
+                for k, v in emission.items()
+                if k not in ("photosphere", "e-scattering")
+            }
+            top = set(
+                sorted(totals, key=totals.get, reverse=True)[:nelements]
+            )
+            emission = _fold_other(emission, top,
+                                   keep=("photosphere", "e-scattering"))
+            absorption = _fold_other(absorption, top, keep=())
+        return emission, absorption
+
+    # ------------------------------------------------------------------
+    def generate_plot_mpl(
+        self,
+        packets_mode: str = "real",
+        ax=None,
+        species_list=None,
+        nelements=None,
+        wavelength_range_angstrom=None,
+        save_path: str | None = None,
+    ):
         import matplotlib
 
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
 
-        nu_edges = self.sim.spectrum_nu_edges
-        comp = self._decompose(nu_edges)
-        centers = 0.5 * (nu_edges[:-1] + nu_edges[1:])
-        wl = C / centers * 1e8  # AA
-        order = np.argsort(wl)
-
+        wl, em_stack, ab_stack, labels_e, labels_a, total = self._prep(
+            packets_mode, species_list, nelements, wavelength_range_angstrom
+        )
         if ax is None:
-            fig, ax = plt.subplots(figsize=(10, 6))
+            fig, ax = plt.subplots(figsize=(11, 6))
         else:
             fig = ax.figure
-        # stack L_lambda components
-        stack = []
-        labels = []
-        for name, l_nu in comp.items():
-            l_lam = l_nu * centers**2 / C
-            stack.append(l_lam[order])
-            labels.append(name)
-        ax.stackplot(wl[order], stack, labels=labels, alpha=0.8)
-        total = self.sim.spectrum_real.luminosity_lambda
-        ax.plot(
-            self.sim.spectrum_real.wavelength[order] * 1e8,
-            total[order],
-            color="k",
-            lw=0.8,
-            label="total",
-        )
+        ax.stackplot(wl, em_stack, labels=labels_e, alpha=0.8)
+        if len(ab_stack):
+            ax.stackplot(
+                wl, [-a for a in ab_stack], labels=[
+                    f"{n} (abs)" for n in labels_a
+                ], alpha=0.5,
+            )
+        ax.plot(wl, total, color="k", lw=0.8, label="total")
+        ax.axhline(0.0, color="k", lw=0.5)
         ax.set_xlabel("wavelength [$\\AA$]")
-        ax.set_ylabel("$L_\\lambda$ [erg/s/$\\AA$] $\\times 10^{8}$")
+        ax.set_ylabel("$L_\\lambda$ [erg/s/$\\AA$]")
+        ax.set_title(f"SDEC ({packets_mode} packets)")
         ax.legend(fontsize=8, ncol=3)
+        if wavelength_range_angstrom is not None:
+            ax.set_xlim(*wavelength_range_angstrom)
         if save_path:
             fig.savefig(save_path, dpi=120)
         return fig
+
+    def generate_plot_ply(
+        self,
+        packets_mode: str = "real",
+        species_list=None,
+        nelements=None,
+        wavelength_range_angstrom=None,
+    ):
+        """Interactive plotly figure (reference generate_plot_ply,
+        sdec_plot.py).  Requires plotly; raises ImportError otherwise."""
+        import plotly.graph_objects as go
+
+        wl, em_stack, ab_stack, labels_e, labels_a, total = self._prep(
+            packets_mode, species_list, nelements, wavelength_range_angstrom
+        )
+        fig = go.Figure()
+        for name, y in zip(labels_e, em_stack):
+            fig.add_trace(
+                go.Scatter(x=wl, y=y, stackgroup="emission", name=name)
+            )
+        for name, y in zip(labels_a, ab_stack):
+            fig.add_trace(
+                go.Scatter(
+                    x=wl, y=-y, stackgroup="absorption",
+                    name=f"{name} (abs)",
+                )
+            )
+        fig.add_trace(
+            go.Scatter(x=wl, y=total, name="total",
+                       line=dict(color="black", width=1))
+        )
+        fig.update_layout(
+            xaxis_title="wavelength [Å]",
+            yaxis_title="L_lambda [erg/s/Å]",
+            title=f"SDEC ({packets_mode} packets)",
+        )
+        return fig
+
+    # ------------------------------------------------------------------
+    def _prep(self, packets_mode, species_list, nelements, wl_range):
+        nu_edges = self.sim.spectrum_nu_edges
+        species_filter = _parse_species_list(species_list)
+        emission, absorption = self._decompose(
+            nu_edges, packets_mode, species_filter, nelements
+        )
+        centers = 0.5 * (nu_edges[:-1] + nu_edges[1:])
+        wl = C / centers * 1e8
+        order = np.argsort(wl)
+        to_lam = centers**2 / C / 1e8  # L_nu -> L_lambda per AA
+
+        def conv(h):
+            return (h * to_lam)[order]
+
+        labels_e = list(emission.keys())
+        em_stack = [conv(emission[k]) for k in labels_e]
+        labels_a = list(absorption.keys())
+        ab_stack = [conv(absorption[k]) for k in labels_a]
+        total = np.sum(em_stack, axis=0) if em_stack else np.zeros_like(wl)
+        return wl[order], em_stack, ab_stack, labels_e, labels_a, total
+
+
+def _roman(ion):
+    numerals = ["I", "II", "III", "IV", "V", "VI", "VII", "VIII", "IX", "X"]
+    return numerals[ion] if 0 <= ion < len(numerals) else str(ion + 1)
+
+
+def _species_label(z, ion, species_filter):
+    sym = ATOMIC_SYMBOLS[z - 1]
+    if species_filter is not None and (z, ion) in species_filter:
+        return f"{sym} {_roman(ion)}"
+    return sym
+
+
+def _fold_other(components, top, keep):
+    out = {}
+    other = None
+    for k, v in components.items():
+        if k in keep or k in top:
+            out[k] = v
+        else:
+            other = v if other is None else other + v
+    if other is not None:
+        out["other"] = other
+    return out
