@@ -242,6 +242,11 @@ def simulation_to_tardis_hdf(sim, path: str, name: str = "simulation"):
                 / float(res.time_of_simulation),
                 "emitted_packet_mask": np.asarray(res.output_status) == 1,
             }
+            vp = getattr(res, "vpackets", None)
+            if vp is not None:
+                # reference vpacket_hdf_properties
+                # (montecarlo_transport_state.py:33-44)
+                elements.update(vp)
             li = getattr(res, "last_interaction", None)
             if li is not None:
                 elements.update(

@@ -382,6 +382,7 @@ class Simulation:
         integ_cfg = self.config.spectrum.get("integrated", {})
         solver = FormalIntegralSolver(
             n_points=int(integ_cfg.get("points", 1000)),
+            interpolate_shells=int(integ_cfg.get("interpolate_shells", 0)),
         )
         self.spectrum_integrated = solver.solve(
             self.spectrum_nu_edges,

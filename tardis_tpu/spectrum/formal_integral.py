@@ -248,16 +248,82 @@ def _integrate_rays(
     return (I_final * p).reshape(F, n_p)
 
 
+class IntegrationError(ValueError):
+    """Formal integral cannot run under the current configuration."""
+
+
+def check_formal_integral_requirements(
+    line_interaction_type: str,
+    continuum_enabled: bool = False,
+    raises: bool = True,
+) -> bool:
+    """Reject configurations the formal integral does not support
+    (reference check_formal_integral_requirements,
+    formal_integral/base.py:25-83: only downbranch/macroatom line
+    interaction; no continuum processes)."""
+    import warnings
+
+    def fail(msg):
+        if raises:
+            raise IntegrationError(msg)
+        warnings.warn(msg)
+        return False
+
+    if line_interaction_type not in ("downbranch", "macroatom"):
+        return fail(
+            "the formal integral only works for line_interaction_type "
+            "'downbranch' or 'macroatom' "
+            f"(got {line_interaction_type!r})"
+        )
+    if continuum_enabled:
+        return fail(
+            "the formal integral does not work with continuum interactions"
+        )
+    return True
+
+
+def _interp_shells(x_mid_old, x_mid_new, arr, kind="linear"):
+    """Per-row 1-D interpolation of (rows, S_old) onto S_new midpoints
+    (reference interpolate_integrator_quantities,
+    formal_integral_solver.py:315-420: linear with extrapolation for the
+    source-function arrays, nearest for electron densities; negatives from
+    extrapolation clamped to 0)."""
+    arr = np.atleast_2d(arr)
+    if kind == "nearest":
+        idx = np.abs(
+            x_mid_new[None, :] - x_mid_old[:, None]
+        ).argmin(axis=0)
+        return arr[:, idx]
+    out = np.empty((arr.shape[0], len(x_mid_new)))
+    for k in range(arr.shape[0]):
+        out[k] = np.interp(x_mid_new, x_mid_old, arr[k])
+    # linear extrapolation at the edges
+    lo_slope = (arr[:, 1] - arr[:, 0]) / (x_mid_old[1] - x_mid_old[0])
+    hi_slope = (arr[:, -1] - arr[:, -2]) / (x_mid_old[-1] - x_mid_old[-2])
+    left = x_mid_new < x_mid_old[0]
+    right = x_mid_new > x_mid_old[-1]
+    out[:, left] = (
+        arr[:, :1] + lo_slope[:, None] * (x_mid_new[left] - x_mid_old[0])
+    )
+    out[:, right] = (
+        arr[:, -1:] + hi_slope[:, None] * (x_mid_new[right] - x_mid_old[-1])
+    )
+    return np.clip(out, 0.0, None)
+
+
 class FormalIntegralSolver:
     """Driver: source function + ray integration -> Spectrum.
 
-    (reference formal_integral_solver.py:166-330; requires macroatom line
-    interaction, formal_integral/base.py:25)
+    (reference formal_integral_solver.py:166-330; requirements check per
+    formal_integral/base.py:25; optional shell refinement via
+    ``interpolate_shells`` per interpolate_integrator_quantities)
     """
 
-    def __init__(self, n_points: int = 1000, n_impact_parameters: int = 80):
+    def __init__(self, n_points: int = 1000, n_impact_parameters: int = 80,
+                 interpolate_shells: int = 0):
         self.n_points = n_points
         self.n_p = n_impact_parameters
+        self.interpolate_shells = interpolate_shells
 
     def solve(
         self,
@@ -268,13 +334,16 @@ class FormalIntegralSolver:
         atom_data,
         line_interaction_type: str = "macroatom",
     ) -> Spectrum:
-        if line_interaction_type != "macroatom":
-            raise ValueError(
-                "formal integral requires line_interaction_type='macroatom' "
-                "(reference check_formal_integral_requirements)"
-            )
+        check_formal_integral_requirements(
+            line_interaction_type,
+            continuum_enabled=(
+                getattr(transport_result, "continuum", None) is not None
+            ),
+        )
         source = solve_source_function(
-            atom_data.macro_atom,
+            atom_data.macro_atom
+            if line_interaction_type == "macroatom"
+            else atom_data.downbranch,
             plasma_state,
             transport_result,
             sim_state,
@@ -287,6 +356,31 @@ class FormalIntegralSolver:
         L = atom_data.n_lines
         geometry = sim_state.geometry
 
+        r_inner = geometry.r_inner
+        r_outer = geometry.r_outer
+        tau = plasma_state.tau_sobolev  # (L, S)
+        n_e = plasma_state.electron_densities
+        att_S_ul = source.att_S_ul
+        Jred_lu = source.Jred_lu
+        Jblue_lu = source.Jblue_lu
+
+        if self.interpolate_shells and self.interpolate_shells > S:
+            # refine the radial grid (reference interpolate_shells config,
+            # spectrum schema `integrated.interpolate_shells`)
+            Sn = int(self.interpolate_shells)
+            mid_old = 0.5 * (r_inner + r_outer)
+            r_in_new = np.linspace(r_inner[0], r_outer[-1], Sn + 1)[:-1]
+            r_out_new = np.linspace(r_inner[0], r_outer[-1], Sn + 1)[1:]
+            mid_new = 0.5 * (r_in_new + r_out_new)
+            att_S_ul = _interp_shells(mid_old, mid_new, att_S_ul)
+            Jred_lu = _interp_shells(mid_old, mid_new, Jred_lu)
+            Jblue_lu = _interp_shells(mid_old, mid_new, Jblue_lu)
+            tau = _interp_shells(mid_old, mid_new, tau)
+            n_e = _interp_shells(mid_old, mid_new, n_e[None, :],
+                                 kind="nearest")[0]
+            r_inner, r_outer = r_in_new, r_out_new
+            S = Sn
+
         # integration frequency grid (n_points), then interpolate onto edges
         nu_lo, nu_hi = nu_edges[0], nu_edges[-1]
         nu_grid = np.linspace(nu_lo, nu_hi, self.n_points)
@@ -295,25 +389,22 @@ class FormalIntegralSolver:
         t_inner = sim_state.t_inner
         i_bb = intensity_black_body(nu_grid, t_inner)
 
-        p_grid = np.linspace(0.0, geometry.r_outer[-1], self.n_p + 1)[1:]
+        p_grid = np.linspace(0.0, r_outer[-1], self.n_p + 1)[1:]
 
-        tau = plasma_state.tau_sobolev
         exp_tau = np.exp(-tau).astype(np.float32).reshape(-1)
 
         I_nu_p = _integrate_rays(
             jnp.asarray(nu_grid / NU_UNIT, F32),
             jnp.asarray(p_grid / ct, F32),
-            jnp.asarray(geometry.r_inner / ct, F32),
-            jnp.asarray(geometry.r_outer / ct, F32),
-            jnp.asarray(
-                SIGMA_THOMSON * plasma_state.electron_densities * ct, F32
-            ),
+            jnp.asarray(r_inner / ct, F32),
+            jnp.asarray(r_outer / ct, F32),
+            jnp.asarray(SIGMA_THOMSON * n_e * ct, F32),
             jnp.asarray(-(atom_data.line_nu / NU_UNIT), F32),
             jnp.asarray(atom_data.line_nu / NU_UNIT, F32),
             jnp.asarray(exp_tau),
-            jnp.asarray(source.att_S_ul.reshape(-1), F32),
-            jnp.asarray(source.Jred_lu.reshape(-1), F32),
-            jnp.asarray(source.Jblue_lu.reshape(-1), F32),
+            jnp.asarray(np.ascontiguousarray(att_S_ul).reshape(-1), F32),
+            jnp.asarray(np.ascontiguousarray(Jred_lu).reshape(-1), F32),
+            jnp.asarray(np.ascontiguousarray(Jblue_lu).reshape(-1), F32),
             jnp.asarray(i_bb, F32),
             n_shells=S,
             n_lines=L,

@@ -1110,7 +1110,7 @@ def run_transport(
     batch_size: int,
     max_steps: int = 1 << 30,
     tail_batch: int = 0,
-    chunk_size: int = 524288,
+    chunk_size: int = 2097152,
     pool_w=None,
 ):
     """Run transport for all n_packets on one device; returns final carry.
@@ -1124,9 +1124,16 @@ def run_transport(
     reference's cheap per-thread tail, which a wide lockstep batch lacks.
 
     Pools larger than ``chunk_size`` are processed in host-side chunks with
-    global packet-id RNG offsets (bitwise identical to a single pass);
-    this both bounds device memory at extreme N and works around a TPU
-    runtime fault observed with ~1e6-packet kernels on this stack.
+    global packet-id RNG offsets (bitwise identical to a single pass).
+    Root cause of the chunking requirement (round-1 "1e6-packet fault",
+    root-caused round 2): the TPU worker on this stack kills any single
+    XLA program execution running longer than roughly a minute — a 1e7-
+    packet while_loop (~70 s) reliably crashes the worker, while 2e6
+    packets (~12 s) is fine at any packet count when split.  The default
+    chunk therefore bounds per-kernel wall time (~12 s measured at 1.9e5
+    packets/s), NOT device memory; raise it on runtimes without the
+    watchdog.  Larger chunks also improve lane occupancy (82% at 2e6 vs
+    55% at 5e5), so the default is the fastest safe setting.
     """
     if n_packets > chunk_size > 0:
         return _run_transport_chunked(

@@ -87,3 +87,68 @@ def test_formal_integral_vs_mc_spectrum(atom_data_prepared):
     sp = sim.spectrum_real
     ratio = spec_int.luminosity / sp.luminosity
     assert 0.7 < ratio < 1.4, ratio
+
+
+@pytest.fixture(scope="module")
+def integ_setup(atom_data_prepared):
+    import copy
+
+    cfg = copy.deepcopy(BASE_CONFIG)
+    cfg["plasma"]["line_interaction_type"] = "macroatom"
+    cfg["montecarlo"]["no_of_packets"] = 3000
+    cfg["montecarlo"]["last_no_of_packets"] = 3000
+    cfg["montecarlo"]["iterations"] = 1
+    sim = Simulation.from_config(
+        config_from_dict(cfg), atom_data=atom_data_prepared
+    )
+    sim.run_convergence()
+    sim.run_final()
+    return (
+        sim.state,
+        sim.plasma_state,
+        sim.last_transport_result,
+        sim.atom_data,
+        sim.spectrum_nu_edges,
+    )
+
+
+def test_requirements_check():
+    """Mode rejection mirrors the reference's
+    check_formal_integral_requirements (formal_integral/base.py:25)."""
+    import pytest as _pytest
+
+    from tardis_tpu.spectrum.formal_integral import (
+        IntegrationError,
+        check_formal_integral_requirements,
+    )
+
+    assert check_formal_integral_requirements("macroatom")
+    assert check_formal_integral_requirements("downbranch")
+    with _pytest.raises(IntegrationError):
+        check_formal_integral_requirements("scatter")
+    with _pytest.raises(IntegrationError):
+        check_formal_integral_requirements("macroatom",
+                                           continuum_enabled=True)
+    assert not check_formal_integral_requirements("scatter", raises=False)
+
+
+def test_shell_interpolation_consistency(integ_setup):
+    """interpolate_shells refines the radial grid without changing the
+    integrated spectrum beyond discretization differences (reference
+    interpolate_integrator_quantities)."""
+    import numpy as np
+
+    from tardis_tpu.spectrum.formal_integral import FormalIntegralSolver
+
+    sim_state, plasma, result, atom, nu_edges = integ_setup
+    base = FormalIntegralSolver(n_points=120, n_impact_parameters=40).solve(
+        nu_edges, sim_state, plasma, result, atom
+    )
+    fine = FormalIntegralSolver(
+        n_points=120, n_impact_parameters=40,
+        interpolate_shells=3 * sim_state.no_of_shells,
+    ).solve(nu_edges, sim_state, plasma, result, atom)
+    L_b = float(np.sum(base.luminosity_nu * np.abs(np.diff(nu_edges))))
+    L_f = float(np.sum(fine.luminosity_nu * np.abs(np.diff(nu_edges))))
+    assert L_f > 0
+    assert abs(L_f - L_b) / L_b < 0.15

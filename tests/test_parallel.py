@@ -86,3 +86,17 @@ def test_sharded_all_finish(setup):
     )
     st = np.asarray(carry.out_status)
     assert (st != 0).all()
+
+
+def test_scaling_harness_runs():
+    """Scaling-efficiency harness executes on the virtual mesh and reports
+    sane efficiencies (SURVEY.md §7 step 6 analogue)."""
+    from tardis_tpu.benchmarks.scaling_bench import run_scaling
+
+    results = run_scaling(
+        per_device=512, device_counts=(1, 2), n_levels=6, repeats=1
+    )
+    assert len(results) == 2
+    assert results[0]["efficiency"] == 1.0
+    assert results[1]["devices"] == 2
+    assert 0.0 < results[1]["efficiency"] <= 1.5
