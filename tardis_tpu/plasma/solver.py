@@ -51,10 +51,11 @@ class PlasmaSolver:
         nlte_coronal_approximation: bool = False,
         nlte_classical_nebular: bool = False,
         helium_treatment: str = "none",
+        heating_rate_data_file: str | None = None,
     ):
         assert ionization in ("lte", "nebular")
         assert excitation in ("lte", "dilute-lte")
-        assert helium_treatment in ("none", "recomb-nlte")
+        assert helium_treatment in ("none", "recomb-nlte", "numerical-nlte")
         assert radiative_rates_type in (
             "blackbody",
             "dilute-blackbody",
@@ -72,6 +73,11 @@ class PlasmaSolver:
         self.nlte_coronal_approximation = nlte_coronal_approximation
         self.nlte_classical_nebular = nlte_classical_nebular
         self.helium_treatment = helium_treatment
+        self.heating_rate_data = (
+            np.loadtxt(heating_rate_data_file, unpack=True)
+            if heating_rate_data_file
+            else None
+        )
         if helium_treatment != "none" and (2, 0) in [
             tuple(s) for s in self.nlte_species
         ]:
@@ -308,6 +314,40 @@ class PlasmaSolver:
                 if len(rows_he3):
                     n_level[rows_he3] = 0.0
                     n_level[rows_he3[0]] = he3_pop
+
+        if self.helium_treatment == "numerical-nlte" and 2 in self.element_z:
+            # in-framework numerical He NLTE (reference HeliumNumericalNLTE,
+            # plasma/properties/helium_nlte.py:120-280, which shells out to a
+            # non-distributed external solver; solved directly here — see
+            # plasma/helium.py helium_numerical_nlte).  Populations are
+            # normalized to N_He and override both the level and He ion
+            # densities, mirroring the reference's post-hoc update (:275-279).
+            from tardis_tpu.plasma import helium
+
+            if j_blues is None:
+                jb_he = lte.dilute_planck_j_blues(atom.line_nu, t_rad, w)
+            else:
+                jb_he = j_blues
+            e_he = int(np.where(self.element_z == 2)[0][0])
+            rows_he, he_pops, he3_pop, he_ion = (
+                helium.helium_numerical_nlte(
+                    atom, t_rad, w, t_electrons, n_e, jb_he,
+                    self.number_density[e_he],
+                    heating_rate_data=self.heating_rate_data,
+                )
+            )
+            n_level[rows_he] = he_pops
+            he3_sp = self._species_lookup.get((2, 2))
+            if he3_sp is not None:
+                rows_he3 = np.where(atom.level_species_id == he3_sp)[0]
+                if len(rows_he3):
+                    n_level[rows_he3] = 0.0
+                    n_level[rows_he3[0]] = he3_pop
+            for stage in range(3):
+                sp = self._species_lookup.get((2, stage))
+                if sp is not None:
+                    ion_density[self.species_ion_row[sp]] = he_ion[stage]
+            ion_per_species = ion_density[self.species_ion_row]
 
         n_lower = n_level[atom.line_lower_idx]
         n_upper = n_level[atom.line_upper_idx]

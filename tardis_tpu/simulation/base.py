@@ -136,6 +136,10 @@ class Simulation:
             ),
             w_epsilon=config.plasma.get("w_epsilon", 1e-10),
             helium_treatment=config.plasma.get("helium_treatment", "none"),
+            heating_rate_data_file=config.plasma.get(
+                "heating_rate_data_file", None
+            )
+            or None,
             nlte_species=[
                 __import__(
                     "tardis_tpu.plasma.nlte", fromlist=["parse_species"]

@@ -56,9 +56,10 @@ STATUS_EMITTED = 1
 STATUS_REABSORBED = 2
 TILE_128 = 128
 
-# ablation hooks for benchmarks/probe_step2 (trace-time; never set in prod)
+# ablation hooks for benchmarks/probe_step* (trace-time; never set in prod)
 _DISABLE_LINE_SCATTER = False
 _DISABLE_OUT_SCATTER = False
+_DISABLE_BULK_EST = False
 
 # RNG draw tags
 _TAG_TAU = 0
@@ -398,12 +399,12 @@ def make_transport_step(
         tau_cum_lo=tables.tau_cum_lo.reshape(-1),
     )
     LP1 = L + 1
-
-    def count_gt(nu_thresh):
-        """Number of lines with nu_i > nu_thresh (descending list)."""
-        return tiled_searchsorted(
-            tables.neg_nu_tiled, -nu_thresh, side="left"
-        )
+    # birth line ids for the whole pool, hoisted out of the event loop
+    # (reference packets/radiative_packet.py:96-110); one tiled search per
+    # iteration instead of one per step
+    pool_birth = tiled_searchsorted(
+        tables.neg_nu_tiled, -pool_nu_cmf, side="right"
+    )
 
     def step(carry: TransportCarry) -> TransportCarry:
         # ------------------------------------------------ 1. refill
@@ -438,10 +439,8 @@ def make_transport_step(
         energy = jnp.where(can_fill, b_energy, carry.energy)
         shell = jnp.where(can_fill, 0, carry.shell)
         # birth line id: count of lines with nu_line >= nu_cmf
-        # (reference packets/radiative_packet.py:96-110)
-        birth_line = tiled_searchsorted(
-            tables.neg_nu_tiled, -b_nu_cmf, side="right"
-        )
+        # (precomputed per pool packet, see pool_birth above)
+        birth_line = pool_birth[ids_c]
         next_line = jnp.where(can_fill, birth_line, carry.next_line)
         pkt_id = jnp.where(can_fill, new_ids, carry.pkt_id)
         event_idx = jnp.where(can_fill, 0, carry.event_idx)
@@ -547,19 +546,6 @@ def make_transport_step(
 
         tau_event = -jnp.log(_uniform_from_key(keys, _TAG_TAU))
 
-        # lines with resonance before the boundary: nu_i > nu_cmf(boundary)
-        if static.enable_full_relativity:
-            y_b = z + d_b
-            rb2 = r * r + d_b * d_b + 2.0 * r * d_b * mu
-            nu_thresh = (
-                nu * (1.0 - y_b)
-                / jnp.sqrt(jnp.maximum(1.0 - rb2, 1e-12))
-            )
-        else:
-            nu_thresh = nu * (1.0 - (z + d_b))
-        i_bound = jnp.maximum(count_gt(nu_thresh), next_line)
-        i_bound = jnp.minimum(i_bound, L)
-
         row0 = shell_c * LP1
         c0_hi = tables.tau_cum_hi[row0 + next_line]
         c0_lo = tables.tau_cum_lo[row0 + next_line]
@@ -593,36 +579,49 @@ def make_transport_step(
                 c0_lo,
             )
 
+        # comoving frequency at the boundary crossing: lines with
+        # nu_i <= nu_thresh resonate beyond the boundary (reference
+        # trace_packet's while nu_line >= comov_nu_boundary loop bound,
+        # homologous_rad_packet_transport.py:102-161)
         if static.enable_full_relativity:
             p2_fr = jnp.maximum(r * r * (1.0 - mu * mu), 0.0)
+            y_b = z + d_b
+            rb2 = r * r + d_b * d_b + 2.0 * r * d_b * mu
+            nu_thresh = (
+                nu * (1.0 - y_b)
+                / jnp.sqrt(jnp.maximum(1.0 - rb2, 1e-12))
+            )
         else:
             p2_fr = None
+            nu_thresh = nu * (1.0 - (z + d_b))
         i_event = predicate_search(
             tables.pred_tables,
             shell_c,
             next_line,
-            i_bound,
+            L,
             c0_hi,
             c0_lo,
             chi,
             z,
             nu,
             tau_event,
+            nu_thresh,
             full_relativity=static.enable_full_relativity,
             p2=p2_fr,
         )
-        found = i_event < i_bound
-
+        # classify: i_event is the first line whose resonance lies past the
+        # boundary (not found) OR the first line where the accumulated
+        # optical depth exceeds tau_event (found) — one shared tau gather
+        # serves both the tau_before (found) and tau_total (boundary) roles
+        nu_ev = tables.line_nu[jnp.clip(i_event, 0, L - 1)]
+        found = (i_event < L) & (nu_ev > nu_thresh)
         s_ev = s_of(i_event)
-        tau_before = dC(i_event)
-        d_cont_f = jnp.maximum((tau_event - tau_before) / chi, 0.0)
-        escat_f = d_cont_f < s_ev
+        tau_at = dC(i_event)
+        d_cont = jnp.maximum((tau_event - tau_at) / chi, 0.0)
+        escat_f = d_cont < s_ev
         if static.disable_line_scattering:
             escat_f = jnp.ones_like(escat_f)
-
-        tau_total = dC(i_bound)
-        d_cont_nf = jnp.maximum((tau_event - tau_total) / chi, 0.0)
-        escat_nf = d_cont_nf < d_b
+        escat_nf = d_cont < d_b
 
         EV_BOUNDARY, EV_LINE, EV_ESCAT = 0, 1, 2
         event = jnp.where(
@@ -632,12 +631,12 @@ def make_transport_step(
         )
         distance = jnp.where(
             found,
-            jnp.where(escat_f, d_cont_f, s_ev),
-            jnp.where(escat_nf, d_cont_nf, d_b),
+            jnp.where(escat_f, d_cont, s_ev),
+            jnp.where(escat_nf, d_cont, d_b),
         )
         # exclusive end of crossed-line range (LINE includes its own line)
         end_line = jnp.where(
-            found, jnp.where(escat_f, i_event, i_event + 1), i_bound
+            found & ~escat_f, i_event + 1, i_event
         )
 
         # ------------------------------------------------ 4. estimators
@@ -648,14 +647,18 @@ def make_transport_step(
         path = distance * dop if static.enable_full_relativity else distance
         w_j = live_f * e_com * path
         onehot = (shell_c[:, None] == jnp.arange(S)[None, :]).astype(F32)
-        est_j, est_j_lo = df32_accumulate(
-            carry.est_j, carry.est_j_lo,
-            jnp.sum(w_j[:, None] * onehot, axis=0),
-        )
-        est_nubar, est_nubar_lo = df32_accumulate(
-            carry.est_nubar, carry.est_nubar_lo,
-            jnp.sum((w_j * nu_cmf)[:, None] * onehot, axis=0),
-        )
+        if _DISABLE_BULK_EST:
+            est_j, est_j_lo = carry.est_j, carry.est_j_lo
+            est_nubar, est_nubar_lo = carry.est_nubar, carry.est_nubar_lo
+        else:
+            est_j, est_j_lo = df32_accumulate(
+                carry.est_j, carry.est_j_lo,
+                jnp.sum(w_j[:, None] * onehot, axis=0),
+            )
+            est_nubar, est_nubar_lo = df32_accumulate(
+                carry.est_nubar, carry.est_nubar_lo,
+                jnp.sum((w_j * nu_cmf)[:, None] * onehot, axis=0),
+            )
 
         if static.enable_continuum:
             # continuum estimator moments per (grid cell, shell); host

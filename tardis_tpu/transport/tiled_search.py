@@ -161,21 +161,32 @@ def predicate_search(
     pt: PredicateTables,
     shell,  # (B,) i32
     lo_dom,  # (B,) i32 inclusive domain start (next_line)
-    hi_dom,  # (B,) i32 exclusive domain end (i_bound)
+    n_lines,  # python int: true line count (final clamp upper bound)
     c0_hi,  # (B,) f32 C[shell, lo_dom] (exclusive prefix at domain start)
     c0_lo,
     chi,  # (B,)
     z,  # (B,) mu*r
     nu_lab,  # (B,)
     tau_event,  # (B,)
+    nu_thresh,  # (B,) comoving frequency at the shell boundary
     full_relativity: bool = False,
     p2=None,  # (B,) impact parameter^2 (full relativity only)
 ):
-    """First line i in [lo_dom, hi_dom) with g(i) > tau_event; hi_dom if none.
+    """Fused event/boundary search.
 
-    Extended monotone predicate over [0, t0*128):
-      P(i) = (i >= lo_dom) & ((i >= hi_dom) | g(i) > tau_event)
-    evaluated on 128-wide rows; first-true found by counting falses.
+    First line i in [lo_dom, n_lines] satisfying the monotone predicate
+      P(i) = (i >= lo_dom) & (nu_i <= nu_thresh  |  g(i) > tau_event)
+    where nu_i <= nu_thresh marks resonances past the shell boundary
+    (lines are descending in nu) and
+    g(i) = (C[shell, i] - C0) + chi * s(i) the combined optical depth to
+    line i's resonance at distance s(i).  The caller classifies the
+    result: nu_{i*} <= nu_thresh (or i* == n_lines) means no line event
+    before the boundary (i* is then the old "i_bound"), else i* is the
+    event line — one search replaces the previous separate boundary-window
+    searchsorted + event search, and one shared C-gather replaces the two
+    tau lookups.  Padding rows carry nu = -inf, which fires the boundary
+    arm, keeping the predicate monotone (s(-inf) is NaN under full
+    relativity).
     """
 
     def s_of_nu(nu_row):
@@ -188,45 +199,36 @@ def predicate_search(
         zeta = 1.0 - nu_row / nu_lab[:, None]
         return jnp.maximum(zeta - z[:, None], 0.0)
 
-    def pred_rows(c_row, nu_row, base_idx, exact_lo=None):
-        # g > tau with domain masking, arithmetic (int) form
+    def count_false(c_row, nu_row, idx, exact_lo=None):
+        # idx: sample positions, broadcastable to (B, 128)
         dC = c_row - c0_hi[:, None]
         if exact_lo is not None:
             dC = dC + (exact_lo - c0_lo[:, None])
-        g = dC + chi[:, None] * s_of_nu(nu_row)
-        idx = base_idx[:, None] + jnp.arange(TILE, dtype=I32)[None, :]
+        s = s_of_nu(nu_row)
+        g = dC + chi[:, None] * s
         in_dom = idx >= lo_dom[:, None]
-        beyond = idx >= hi_dom[:, None]
-        p = in_dom & (beyond | (g > tau_event[:, None]))
+        fire = (nu_row <= nu_thresh[:, None]) | (g > tau_event[:, None])
+        p = in_dom & fire
         return jnp.sum(jnp.logical_not(p), axis=1).astype(I32)
 
     T0, T1 = pt.t0, pt.t1
-    S = pt.c2_hi.shape[0]
 
     # level 2: rows (B, 128) gathered by shell from (S, 128); samples at
     # positions w * 128^2.  The transition block is (count_false - 1); an
     # exactly-at-boundary transition falls out of the natural overflow of
     # the lower levels (all-false tile => index = next tile start).
     c2_row = pt.c2_hi[shell]
-    g2 = (c2_row - c0_hi[:, None]) + chi[:, None] * s_of_nu(pt.nu2[None, :])
     idx2 = (jnp.arange(TILE, dtype=I32) * (TILE * TILE))[None, :]
-    p2_ = (idx2 >= lo_dom[:, None]) & (
-        (idx2 >= hi_dom[:, None]) | (g2 > tau_event[:, None])
-    )
     w = jnp.clip(
-        jnp.sum(jnp.logical_not(p2_), axis=1).astype(I32) - 1, 0, T1 - 1
+        count_false(c2_row, pt.nu2[None, :], idx2) - 1, 0, T1 - 1
     )
 
     # level 1: samples at positions (w*128 + k) * 128
     row1 = pt.c1_hi[shell * T1 + w]
     nu1_row = pt.nu1[w]
-    g1 = (row1 - c0_hi[:, None]) + chi[:, None] * s_of_nu(nu1_row)
     idx1 = (w[:, None] * TILE + jnp.arange(TILE, dtype=I32)[None, :]) * TILE
-    p1 = (idx1 >= lo_dom[:, None]) & (
-        (idx1 >= hi_dom[:, None]) | (g1 > tau_event[:, None])
-    )
     t = jnp.clip(
-        w * TILE + jnp.sum(jnp.logical_not(p1), axis=1).astype(I32) - 1,
+        w * TILE + count_false(row1, nu1_row, idx1) - 1,
         0,
         T0 - 1,
     )
@@ -235,10 +237,10 @@ def predicate_search(
     row0_hi = pt.c_hi[shell * T0 + t]
     row0_lo = pt.c_lo[shell * T0 + t]
     nu0_row = pt.nu[t]
-    base0 = t * TILE
-    c0f = pred_rows(row0_hi, nu0_row, base0, exact_lo=row0_lo)
-    i_event = base0 + c0f
+    idx0 = t[:, None] * TILE + jnp.arange(TILE, dtype=I32)[None, :]
+    c0f = count_false(row0_hi, nu0_row, idx0, exact_lo=row0_lo)
+    i_event = t * TILE + c0f
     # rare coarse-level overshoot: if the whole tile is already past the
     # transition, fall back to the domain start clamp below
-    i_event = jnp.clip(i_event, lo_dom, hi_dom)
+    i_event = jnp.clip(i_event, lo_dom, n_lines)
     return i_event

@@ -127,3 +127,53 @@ def test_helium_treatment_changes_populations(he_setup):
         ps_std.level_number_density[si_rows], 1e-300
     )
     assert np.isfinite(ps_he.tau_sobolev).all()
+
+
+def test_helium_numerical_nlte(he_setup):
+    """In-framework numerical He NLTE (counterpart of the reference's
+    HeliumNumericalNLTE, helium_nlte.py:120-280): populations are
+    normalized to N_He, non-negative, and respond to the radiation field
+    (stronger W -> more ionization)."""
+    cfg, state, atom = he_setup
+    ps = PlasmaSolver(
+        atom, state, ionization="nebular", excitation="dilute-lte",
+        helium_treatment="numerical-nlte",
+    ).update(state.t_radiative, state.dilution_factor)
+
+    rows1 = _he_rows(atom, 0)
+    rows2 = _he_rows(atom, 1)
+    rows3 = _he_rows(atom, 2)
+    n_lvl = ps.level_number_density
+    assert (n_lvl[rows1] >= 0).all() and (n_lvl[rows2] >= 0).all()
+    he_total = (
+        n_lvl[rows1].sum(axis=0)
+        + n_lvl[rows2].sum(axis=0)
+        + n_lvl[rows3].sum(axis=0)
+    )
+    base = PlasmaSolver(atom, state)
+    i_he = list(base.element_z).index(2)
+    n_he = base.number_density[i_he]
+    np.testing.assert_allclose(he_total, n_he, rtol=1e-8)
+
+    # ion densities overridden consistently with the level populations
+    sp = {
+        (int(z), int(i)): s
+        for s, (z, i) in enumerate(zip(atom.species_z, atom.species_ion))
+    }
+    row_he2 = base.species_ion_row[sp[(2, 1)]]
+    np.testing.assert_allclose(
+        ps.ion_number_density[row_he2], n_lvl[rows2].sum(axis=0), rtol=1e-8
+    )
+
+    # a much stronger radiation field ionizes more helium
+    ps_hot = PlasmaSolver(
+        atom, state, ionization="nebular", excitation="dilute-lte",
+        helium_treatment="numerical-nlte",
+    ).update(state.t_radiative * 1.5, np.minimum(state.dilution_factor * 4, 1))
+    frac_he1 = (
+        ps.ion_number_density[base.species_ion_row[sp[(2, 0)]]] / n_he
+    )
+    frac_he1_hot = (
+        ps_hot.ion_number_density[base.species_ion_row[sp[(2, 0)]]] / n_he
+    )
+    assert (frac_he1_hot <= frac_he1 + 1e-12).all()
