@@ -239,16 +239,66 @@ def _bb_rate_entries(atom, rows, local, j_blues, t_electrons, n_e, g):
     jb = j_blues[lids]
     r_down = a_ul[:, None] + b_ul[:, None] * jb
     r_up = b_lu[:, None] * jb
-    # van Regemorter collisions (ion==0 gbar 0.2; ions 0.7)
+    # van Regemorter collisions: per-line gbar from the LOWER level's ion
+    # (0.2 neutral, 0.7 ions — convention shared with plasma/nlte.py:183);
+    # the concatenated He I + He II rows must not all inherit row 0's ion
     de = H * nu
     u0 = np.minimum(de[:, None] / (K_B * t_electrons)[None, :], 500.0)
-    g_bar = 0.2 if atom.level_ion[rows[0]] == 0 else 0.7
+    g_bar = np.where(
+        atom.level_ion[atom.line_lower_idx[lids]] == 0, 0.2, 0.7
+    )
     q_lu = (
         _VR_COEF * np.sqrt(t_electrons)[None, :] * 14.5 * f_lu[:, None]
-        * (_CHI_H / de[:, None]) ** 2 * u0 * np.exp(-u0) * g_bar
+        * (_CHI_H / de[:, None]) ** 2 * u0 * np.exp(-u0) * g_bar[:, None]
     )
     c_lu = q_lu * n_e[None, :]
     c_ul = c_lu * (g_l / g_u)[:, None] * np.exp(u0)
+
+    # tabulated collision strengths where available override van Regemorter
+    # (same preference order as plasma/nlte.py:127-200; reference YgData
+    # combine_first, plasma/properties/atomic.py:688-696)
+    coll = getattr(atom, "collision", None)
+    if coll is not None and len(coll) > 0:
+        in_sp = inset[coll.lower_flat] & inset[coll.upper_flat]
+        if in_sp.any():
+            from dataclasses import replace as _dc_replace
+
+            from tardis_tpu.plasma.nlte import BETA_COLL, interp_yg
+
+            lo_f = coll.lower_flat[in_sp]
+            up_f = coll.upper_flat[in_sp]
+            sub = _dc_replace(
+                coll, lower_flat=lo_f, upper_flat=up_f, yg=coll.yg[in_sp]
+            )
+            yg_T = interp_yg(sub, t_electrons)  # (Nc, S)
+            tab_lo = np.array([local[int(i)] for i in lo_f])
+            tab_up = np.array([local[int(i)] for i in up_f])
+            d_e = atom.level_energy[up_f] - atom.level_energy[lo_f]
+            u0_t = np.minimum(
+                d_e[:, None] / (K_B * t_electrons)[None, :], 500.0
+            )
+            pref = BETA_COLL / np.sqrt(t_electrons)[None, :]
+            tc_lu = pref * yg_T * np.exp(-u0_t) * n_e[None, :]
+            tc_ul = (
+                pref * yg_T * (g[tab_lo] / g[tab_up])[:, None] * n_e[None, :]
+            )
+            # zero the approximation on covered (lo, up) pairs, then add the
+            # tabulated pair entries onto matching line rows
+            K_loc = len(g)
+            tab_keys = {
+                int(a) * K_loc + int(b): k
+                for k, (a, b) in enumerate(zip(tab_lo, tab_up))
+            }
+            pair_key = lo * K_loc + up
+            cov_pos = np.array(
+                [tab_keys.get(int(p), -1) for p in pair_key]
+            )
+            covered = cov_pos >= 0
+            c_lu = np.where(covered[:, None], 0.0, c_lu)
+            c_ul = np.where(covered[:, None], 0.0, c_ul)
+            pos = np.maximum(cov_pos, 0)
+            c_lu = c_lu + np.where(covered[:, None], tc_lu[pos], 0.0)
+            c_ul = c_ul + np.where(covered[:, None], tc_ul[pos], 0.0)
     return lo, up, r_up + c_lu, r_down + c_ul
 
 
@@ -306,9 +356,10 @@ def _ionization_rates(chi_lvl, g_lvl, g_ion, z_core, t_rad, w, t_electrons,
     r_rec_sp = saha * (pref * b_el * boltz_e * wgt).sum(axis=1)
     r_rec_st = saha * (pref * j_nu * boltz_e * wgt).sum(axis=1)
     # Seaton collisional ionization: C_I = 1.55e13 T_e^-1/2 gbar sigma_th
-    # e^-u / u  * n_e,  u = chi/kT_e (gbar ~ 0.1 z_core)
+    # e^-u / u  * n_e,  u = chi/kT_e; gbar = 0.1 z_core (Seaton's
+    # conventional ~0.1 for neutrals, ~0.2 for singly-charged ions)
     u = chi[:, None] / (K_B * t_electrons)[None, :]
-    g_bar = 0.1 + 0.1 * min(z_core, 2.0)
+    g_bar = 0.1 * z_core
     q_ci = (
         1.55e13 / np.sqrt(t_electrons)[None, :] * g_bar * sigma_th[:, None]
         * np.exp(-np.minimum(u, 600.0)) / np.maximum(u, 1e-10)

@@ -136,10 +136,12 @@ class Simulation:
             ),
             w_epsilon=config.plasma.get("w_epsilon", 1e-10),
             helium_treatment=config.plasma.get("helium_treatment", "none"),
-            heating_rate_data_file=config.plasma.get(
-                "heating_rate_data_file", None
-            )
-            or None,
+            # the reference schema defaults this key to the STRING "none"
+            # (standard_plasmas.py:156 checks `in ["none", None]`) — treat
+            # the sentinel and empty strings as absent
+            heating_rate_data_file=(
+                lambda v: None if v in ("none", "", None) else v
+            )(config.plasma.get("heating_rate_data_file", None)),
             nlte_species=[
                 __import__(
                     "tardis_tpu.plasma.nlte", fromlist=["parse_species"]

@@ -148,3 +148,119 @@ def test_adaptive_damped_defaults_to_half():
         {"type": "adaptive_damped", "damping_constant": 0.7}
     )
     assert solvers3["t_rad"].damping_constant == 0.7
+
+
+# ---------------------------------------------------------------- round 2
+
+
+def test_helium_bb_gbar_is_per_line():
+    """He II internal lines must use the ion gbar (0.7), not inherit the
+    He I gbar 0.2 from the first concatenated row (ADVICE r2 item 1):
+    rates for He II lines in the combined He I+II call must equal the
+    rates from a He II-only call."""
+    from tardis_tpu.atomic.synthetic import make_synthetic_atom_data
+    from tardis_tpu.plasma.helium import _bb_rate_entries, _species_rows
+
+    atom = make_synthetic_atom_data(atomic_numbers=(2,), n_levels=6).prepare(
+        selected_atoms=[2], line_interaction_type="scatter"
+    )
+    rows1 = _species_rows(atom, 0)
+    rows2 = _species_rows(atom, 1)
+    rows = np.concatenate([rows1, rows2])
+    local = {int(f): k for k, f in enumerate(rows)}
+    S = 3
+    t_e = np.full(S, 9000.0)
+    n_e = np.full(S, 1e9)
+    jb = np.zeros((len(atom.line_nu), S))
+    g = atom.level_g[rows].astype(np.float64)
+    lo, up, r_up, r_dn = _bb_rate_entries(
+        atom, rows, local, jb, t_e, n_e, g
+    )
+
+    local2 = {int(f): k for k, f in enumerate(rows2)}
+    g2 = atom.level_g[rows2].astype(np.float64)
+    lo2, up2, r_up2, r_dn2 = _bb_rate_entries(
+        atom, rows2, local2, jb, t_e, n_e, g2
+    )
+    assert len(lo2) > 0, "synthetic He II has no internal lines"
+    # match combined-call He II entries (offset by K1) with the solo call
+    k1 = len(rows1)
+    he2 = (lo >= k1) & (up >= k1)
+    pair = {(int(a) - k1, int(b) - k1): i for i, (a, b) in
+            enumerate(zip(lo[he2], up[he2]))}
+    for i2, (a, b) in enumerate(zip(lo2, up2)):
+        i = pair[(int(a), int(b))]
+        np.testing.assert_allclose(r_up[he2][i], r_up2[i2], rtol=1e-12)
+        np.testing.assert_allclose(r_dn[he2][i], r_dn2[i2], rtol=1e-12)
+
+
+def test_seaton_gbar_scaling():
+    """Seaton collisional-ionization gbar = 0.1 * z_core: the He II
+    (z_core=2) collisional rate prefactor must be exactly 2x the He I one
+    at identical thresholds (ADVICE r2 item 3)."""
+    from tardis_tpu.plasma.helium import _ionization_rates
+
+    chi = np.array([4e-11])
+    g_l = np.array([2.0])
+    t = np.full(2, 12000.0)
+    w = np.full(2, 0.5)
+    n_e = np.full(2, 1e9)
+    # photoionization is gbar-independent: difference isolates collisions
+    i1_hot, _ = _ionization_rates(chi, g_l, 1.0, 1.0, t, w, t, n_e)
+    i1_cold, _ = _ionization_rates(chi, g_l, 1.0, 1.0, t, w * 0, t, n_e)
+    i2_hot, _ = _ionization_rates(chi, g_l, 1.0, 2.0, t, w, t, n_e)
+    i2_cold, _ = _ionization_rates(chi, g_l, 1.0, 2.0, t, w * 0, t, n_e)
+    col1 = i1_cold  # w=0 kills photoionization, leaving collisional only
+    col2 = i2_cold
+    # sigma_th scales as n_eff/z^2 with n_eff = z sqrt(chi_H/chi):
+    # sigma2/sigma1 = 1/2, gbar2/gbar1 = 2 -> collisional ratio = 1.0
+    np.testing.assert_allclose(col2 / col1, 1.0, rtol=1e-10)
+    assert np.all(i1_hot > i1_cold) and np.all(i2_hot > i2_cold)
+
+
+def test_heating_rate_none_sentinel(tmp_path):
+    """plasma.heating_rate_data_file == 'none' (reference schema default)
+    must be treated as absent, not np.loadtxt('none') (ADVICE r2 item 2)."""
+    import copy
+
+    from tardis_tpu.atomic.synthetic import make_synthetic_atom_data
+    from tardis_tpu.config.reader import config_from_dict
+    from tardis_tpu.simulation.base import Simulation
+
+    from tests.test_plasma import BASE_CONFIG
+
+    cfg_d = copy.deepcopy(BASE_CONFIG)
+    cfg_d["plasma"]["heating_rate_data_file"] = "none"
+    cfg = config_from_dict(cfg_d)
+    atom = make_synthetic_atom_data()
+    sim = Simulation.from_config(cfg, atom_data=atom)
+    assert sim.plasma_solver.heating_rate_data is None
+
+
+def test_helium_numerical_uses_tabulated_strengths():
+    """Tabulated collision strengths must change the numerical He NLTE
+    bound-bound rates (parity with nlte_level_boltzmann_factor's
+    preference; ADVICE r2 item 4)."""
+    from tardis_tpu.atomic.synthetic import make_synthetic_atom_data
+    from tardis_tpu.plasma.helium import _bb_rate_entries, _species_rows
+
+    atom_c = make_synthetic_atom_data(
+        atomic_numbers=(2,), n_levels=6, collision_species=((2, 0), (2, 1))
+    ).prepare(selected_atoms=[2], line_interaction_type="scatter")
+    atom_p = make_synthetic_atom_data(
+        atomic_numbers=(2,), n_levels=6
+    ).prepare(selected_atoms=[2], line_interaction_type="scatter")
+    rows = np.concatenate(
+        [_species_rows(atom_c, 0), _species_rows(atom_c, 1)]
+    )
+    local = {int(f): k for k, f in enumerate(rows)}
+    S = 2
+    t_e = np.full(S, 9000.0)
+    n_e = np.full(S, 1e9)
+    jb = np.zeros((len(atom_c.line_nu), S))
+    g = atom_c.level_g[rows].astype(np.float64)
+    _, _, up_c, dn_c = _bb_rate_entries(atom_c, rows, local, jb, t_e, n_e, g)
+    _, _, up_p, dn_p = _bb_rate_entries(atom_p, rows, local, jb, t_e, n_e, g)
+    assert not np.allclose(up_c, up_p), (
+        "tabulated collision strengths had no effect on helium bb rates"
+    )
