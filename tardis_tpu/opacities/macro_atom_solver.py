@@ -122,46 +122,112 @@ def solve_macro_state(
 # ---------------------------------------------------------------------------
 #
 # The in-kernel RNG walk over transition blocks costs O(jumps x probes)
-# dependent gathers per interaction — measured as ~90% of the whole transport
-# step on TPU.  The absorbing-Markov-chain formulation (the reference uses it
-# for IIP continuum, transport/montecarlo/macro_atom.py:108-184 +
-# absorbing_markov_chain.py) replaces the walk EXACTLY: the distribution of
-# the deactivating level j given activation at level l is
+# dependent gathers per interaction.  The absorbing-Markov-chain formulation
+# (the reference uses it for IIP continuum,
+# transport/montecarlo/macro_atom.py:108-184 + absorbing_markov_chain.py)
+# replaces the walk EXACTLY: the distribution of the deactivating level j
+# given activation at level l is
 #     B = (I - Q)^{-1} diag(d),
 # with Q the internal-transition probabilities and d the per-level
 # deactivation probability; the emitted line given deactivation at j is the
 # emission-transition distribution of block j renormalized among emissions.
-# Both draws are realized in-kernel as 128-ary *row* searches over
-# tile-aligned cumulative tables ((B,128) row gathers are nearly free on
-# TPU, unlike dependent scalar probes), so one macro interaction costs ~4
-# row gathers with a fixed trip count.
+#
+# Round 3: both categorical draws use **Walker alias tables** instead of
+# 128-ary CDF row searches.  Measured XLA:TPU gather cost is ~10 ns per
+# gathered row regardless of width, so the alias method (ONE row gather per
+# draw: [prob, alias] resp. [prob, line_k, line_alias]) halves the chain's
+# gather count vs the two-level CDF search while sampling the identical
+# distribution (exact up to the same f32 rounding as the CDF tables).
 #
 # Q is block-diagonal over (atom, ion) groups (classic macro-atom has no
 # ionization channels), so the solve decomposes into small per-component
 # systems — done in f64 on the host.
 
 
+def build_alias_rows(p: np.ndarray):
+    """Walker alias tables for a batch of distributions.
+
+    p: (R, M) rows of probabilities (each row sums to ~1; rows are
+    renormalized defensively).  Returns (prob (R, M) f32, alias (R, M) i32):
+    sampling is  k = floor(u*M); j = k if frac(u*M) < prob[k] else alias[k].
+
+    One-pass construction: smalls (q < 1) consume surplus from larges in
+    index order; the assignment follows the cumulative-surplus boundaries
+    (vectorized searchsorted), which yields a valid exact table because
+    total deficit equals total surplus.
+    """
+    p = np.asarray(p, np.float64)
+    R, M = p.shape
+    tot = p.sum(axis=1, keepdims=True)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        p = np.where(tot > 0, p / tot, 1.0 / M)
+    q = p * M  # working copy, mutated below
+    prob = np.ones((R, M), np.float64)
+    alias = np.broadcast_to(np.arange(M, dtype=np.int32), (R, M)).copy()
+
+    # Vose's algorithm run in LOCKSTEP across all rows: every iteration
+    # pairs each active row's next small with its next large; larges whose
+    # surplus drops below 1 are re-queued as smalls (that re-classification
+    # is what makes the table exact).  Buffers are rings of capacity 2M
+    # (each entry is enqueued as small at most once plus once as a demoted
+    # large).  Leftover entries keep prob 1 / alias self.
+    cap = 2 * M
+    small_buf = np.zeros((R, cap), np.int64)
+    large_buf = np.zeros((R, M), np.int64)
+    sc = np.zeros(R, np.int64)  # small count (enqueued)
+    lc = np.zeros(R, np.int64)
+    is_small = q < 1.0
+    sc[:] = is_small.sum(axis=1)
+    lc[:] = M - sc
+    # fill initial queues (stable index order)
+    idx = np.broadcast_to(np.arange(M), (R, M))
+    order = np.argsort(~is_small, axis=1, kind="stable")  # smalls first
+    sorted_idx = np.take_along_axis(idx, order, axis=1)
+    for r in range(R):  # cheap: pure slicing
+        small_buf[r, : sc[r]] = sorted_idx[r, : sc[r]]
+        large_buf[r, : lc[r]] = sorted_idx[r, sc[r] :]
+    sp = np.zeros(R, np.int64)
+    lp = np.zeros(R, np.int64)
+    rows = np.arange(R)
+    while True:
+        active = (sp < sc) & (lp < lc)
+        if not active.any():
+            break
+        ra = rows[active]
+        s = small_buf[ra, sp[active]]
+        lg = large_buf[ra, lp[active]]
+        qs = q[ra, s]
+        prob[ra, s] = qs
+        alias[ra, s] = lg
+        q[ra, lg] -= 1.0 - qs
+        sp[active] += 1
+        demoted = q[ra, lg] < 1.0
+        rd = ra[demoted]
+        if len(rd):
+            small_buf[rd, sc[rd]] = lg[demoted]
+            sc[rd] += 1
+            lp[rd] += 1
+    return prob.astype(np.float32), alias
+
+
 @dataclass
 class MacroChainState:
-    """Kernel-ready absorbing-chain macro-atom tables (tile-aligned)."""
+    """Kernel-ready absorbing-chain macro-atom tables (alias form)."""
 
     n_states: int  # M
-    chain_tile_w: int  # W = ceil(M/128); 0 => identity chain (downbranch)
-    emit_tiles_total: int  # Et
-    # chain row-search tables (None for downbranch)
-    chain_summary: np.ndarray | None  # (S*M, 128) f32
-    chain_tiles: np.ndarray | None  # (S*M*W, 128) f32
-    # emission-block row-search tables
-    emit_summary: np.ndarray  # (S*M, 128) f32
-    emit_tiles: np.ndarray  # (S*Et, 128) f32
-    emit_tile_start: np.ndarray  # (M+1,) i32
-    emit_block_start: np.ndarray  # (M+1,) i32
+    emit_total: int  # E (emission entries incl. per-level dummies)
+    # absorbing-state alias table (None for downbranch)
+    chain_alias: np.ndarray | None  # (S*M*M, 2) f32 [prob, alias_state]
+    # emission alias rows: (S*E, 3) f32 [prob, line_k, line_alias]
+    emit_alias: np.ndarray
+    emit_info: np.ndarray  # (M, 2) f32 [block start e0, block length n]
+    emit_block_start: np.ndarray  # (M+1,) i32 (host-side consumers/tests)
     emit_line: np.ndarray  # (E,) i32
     line2macro: np.ndarray = None  # (L,) i32 activation map
 
 
 def _emission_tables(e_src, e_line, e_p, M, S):
-    """Tile-aligned per-level emission CDF tables.
+    """Per-(shell, level) emission alias tables.
 
     e_src sorted ascending; e_p (E, S) unnormalized within-block emission
     probabilities.  Returns dict of arrays for MacroChainState.
@@ -182,43 +248,35 @@ def _emission_tables(e_src, e_line, e_p, M, S):
         elen = np.diff(e_start)
 
     E = len(e_src)
-    excl = np.zeros((E + 1, S))
-    np.cumsum(e_p, axis=0, out=excl[1:])
-    tot = excl[e_start[1:]] - excl[e_start[:-1]]  # (M, S)
-    blk = np.repeat(np.arange(M), elen)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        cum = (excl[1:] - excl[e_start[:-1]][blk]) / tot[blk]
-    cum = np.where(np.isfinite(cum), np.clip(cum, 0.0, 1.0), 1.0)
-    cum[e_start[1:] - 1] = 1.0  # close each block exactly
+    emit_alias = np.zeros((S, E, 3), np.float32)
+    # batch the alias builds over levels with EQUAL block length (one
+    # vectorized build per distinct length instead of one per level)
+    for n in np.unique(elen):
+        lvls = np.nonzero(elen == n)[0]
+        starts = e_start[lvls]  # (G,)
+        cols = starts[:, None] + np.arange(n)[None, :]  # (G, n)
+        block_p = e_p[cols]  # (G, n, S)
+        flat_p = np.moveaxis(block_p, 2, 1).reshape(-1, n)  # (G*S, n)
+        prob, alias = build_alias_rows(flat_p)
+        prob = prob.reshape(len(lvls), S, n)
+        alias = alias.reshape(len(lvls), S, n)
+        lines_blk = e_line[cols].astype(np.float32)  # (G, n)
+        alias_lines = np.take_along_axis(
+            lines_blk[:, None, :].repeat(S, axis=1), alias, axis=2
+        )
+        for gi, j in enumerate(lvls):
+            a, b = e_start[j], e_start[j + 1]
+            emit_alias[:, a:b, 0] = prob[gi]
+            emit_alias[:, a:b, 1] = lines_blk[gi][None, :]
+            emit_alias[:, a:b, 2] = alias_lines[gi]
 
-    ntiles = np.maximum((elen + TILE - 1) // TILE, 1)
-    assert ntiles.max() <= TILE, "emission block too large for 2-level search"
-    tile_start = np.zeros(M + 1, np.int64)
-    np.cumsum(ntiles, out=tile_start[1:])
-    Et = int(tile_start[-1])
-
-    # slot -> (tile row, lane)
-    off = np.arange(E) - e_start[blk]
-    slot_tile = tile_start[blk] + off // TILE
-    slot_lane = off % TILE
-
-    emit_tiles = np.full((S, Et, TILE), 2.0, np.float32)
-    emit_tiles[:, slot_tile, slot_lane] = cum.T.astype(np.float32)
-
-    # summary: value at the END of each tile of each level
-    t_level = np.repeat(np.arange(M), ntiles)
-    t_in = np.arange(int(ntiles.sum())) - tile_start[t_level]
-    end_slot = e_start[t_level] + np.minimum(
-        (t_in + 1) * TILE, elen[t_level]
-    ) - 1
-    emit_summary = np.full((S, M, TILE), 2.0, np.float32)
-    emit_summary[:, t_level, t_in] = cum[end_slot].T.astype(np.float32)
-
+    emit_info = np.stack(
+        [e_start[:-1].astype(np.float32), elen.astype(np.float32)], axis=1
+    )
     return dict(
-        emit_tiles_total=Et,
-        emit_summary=emit_summary.reshape(S * M, TILE),
-        emit_tiles=emit_tiles.reshape(S * Et, TILE),
-        emit_tile_start=tile_start.astype(np.int32),
+        emit_total=E,
+        emit_alias=emit_alias.reshape(S * E, 3),
+        emit_info=emit_info,
         emit_block_start=e_start.astype(np.int32),
         emit_line=e_line.astype(np.int32),
     )
@@ -232,9 +290,9 @@ def solve_macro_chain(
     mode: str = "macroatom",
     max_chain_bytes: float = 6e9,
 ) -> MacroChainState | None:
-    """Build absorbing-chain sampling tables; None if the chain would not fit
-    within ``max_chain_bytes`` of device memory (caller falls back to the
-    RNG-walk kernel path)."""
+    """Build absorbing-chain alias sampling tables; None if the chain would
+    not fit within ``max_chain_bytes`` of device memory (caller falls back
+    to the RNG-walk kernel path)."""
     p_norm = solve_transition_probabilities(
         macro, beta_sobolev, j_blues, stim_factor
     ).astype(np.float64)
@@ -257,19 +315,14 @@ def solve_macro_chain(
     if mode == "downbranch":
         return MacroChainState(
             n_states=M,
-            chain_tile_w=0,
-            chain_summary=None,
-            chain_tiles=None,
+            chain_alias=None,
             line2macro=l2m,
             **e_tabs,
         )
 
-    W = -(-M // TILE)
-    if W > TILE:
-        return None  # M > 16384: 2-level search insufficient
-    chain_bytes = S * M * (W + 1) * TILE * 4.0
+    chain_bytes = S * M * M * 2 * 4.0
     if chain_bytes > max_chain_bytes:
-        return None
+        return None  # fall back to the in-kernel walk
 
     # deactivation probability per (level, shell)
     excl = np.zeros((p_norm.shape[0] + 1, S))
@@ -296,13 +349,7 @@ def solve_macro_chain(
         local[m] = np.arange(len(m))
     edge_comp = comp[i_src]
 
-    chain_summary = np.full((S, M, TILE), 2.0, np.float32)
-    chain_tiles = np.full((S, M * W, TILE), 2.0, np.float32)
-    lane = np.arange(M)
-    row_tile = lane // TILE
-    row_lane = lane % TILE
-    sum_pos = np.minimum((np.arange(W) + 1) * TILE, M) - 1
-
+    chain_alias = np.zeros((S, M, M, 2), np.float32)
     for s in range(S):
         B_s = np.zeros((M, M))
         for c, m in enumerate(members):
@@ -325,18 +372,13 @@ def solve_macro_chain(
         dead = (row_tot[:, 0] <= 0)
         if dead.any():
             B_s[dead, dead] = 1.0
-        cum = np.cumsum(B_s, axis=1)
-        cum = np.clip(cum, 0.0, 1.0)
-        cum[:, -1] = 1.0
-        ct = chain_tiles[s].reshape(M, W, TILE)
-        ct[:, row_tile, row_lane] = cum.astype(np.float32)
-        chain_summary[s, :, :W] = cum[:, sum_pos].astype(np.float32)
+        prob, alias = build_alias_rows(B_s)
+        chain_alias[s, :, :, 0] = prob
+        chain_alias[s, :, :, 1] = alias.astype(np.float32)
 
     return MacroChainState(
         n_states=M,
-        chain_tile_w=W,
-        chain_summary=chain_summary.reshape(S * M, TILE),
-        chain_tiles=chain_tiles.reshape(S * M * W, TILE),
+        chain_alias=chain_alias.reshape(S * M * M, 2),
         line2macro=l2m,
         **e_tabs,
     )

@@ -60,9 +60,14 @@ class TransportTables(NamedTuple):
     macro_emit: jnp.ndarray  # (T,) bool (transition_type < 0)
     macro_line: jnp.ndarray  # (T,) i32
     line2macro: jnp.ndarray  # (L,) i32
+    # packed per-(shell,line) exclusive prefix: [hi, lo] rows
+    tau_pack: jnp.ndarray  # (S*(L+1), 2) f32
+    # packed per-shell scalars: [chi_e, r_inner, r_outer, boltz_coef,
+    # ff_coef, 0, 0, 0] -> one row gather serves all shell lookups
+    shell_pack: jnp.ndarray  # (S, 8) f32
     # tiled-search structures (transport/tiled_search.py)
     neg_nu_tiled: object  # TiledTable over ascending -line_nu
-    pred_tables: object  # PredicateTables over per-shell tau prefix sums
+    pred_packed: object  # PackedPredTables (3-level packed search)
     # ---- continuum (IIP) tables; size-1 dummies when disabled ----
     # merged bound-free frequency grid (all continua's knots + hard-edge
     # sentinels; linear interp on it EXACTLY reproduces the reference's
@@ -85,15 +90,12 @@ class TransportTables(NamedTuple):
     fb_cdf: jnp.ndarray = jnp.zeros(1, jnp.float32)  # (P*S,)
     fb_nu: jnp.ndarray = jnp.zeros(1, jnp.float32)  # (P,) scaled
     pion_block_start: jnp.ndarray = jnp.zeros(2, jnp.int32)  # (C+1,)
-    # ---- absorbing-chain macro-atom tables (opacities/macro_atom_solver.py
-    # solve_macro_chain); size-1 dummies when the walk path is used ----
-    chain_summary: jnp.ndarray = jnp.zeros((1, 128), jnp.float32)  # (S*M,128)
-    chain_tiles: jnp.ndarray = jnp.zeros((1, 128), jnp.float32)  # (S*M*W,128)
-    emit_summary: jnp.ndarray = jnp.zeros((1, 128), jnp.float32)  # (S*M,128)
-    emit_tiles: jnp.ndarray = jnp.zeros((1, 128), jnp.float32)  # (S*Et,128)
-    emit_tile_start: jnp.ndarray = jnp.zeros(2, jnp.int32)  # (M+1,)
-    emit_block_start: jnp.ndarray = jnp.zeros(2, jnp.int32)  # (M+1,)
-    emit_line: jnp.ndarray = jnp.zeros(1, jnp.int32)  # (E,)
+    # ---- absorbing-chain macro-atom alias tables
+    # (opacities/macro_atom_solver.py solve_macro_chain); size-1 dummies
+    # when the walk path is used ----
+    chain_alias: jnp.ndarray = jnp.zeros((1, 2), jnp.float32)  # (S*M*M, 2)
+    emit_alias: jnp.ndarray = jnp.zeros((1, 3), jnp.float32)  # (S*E, 3)
+    emit_info: jnp.ndarray = jnp.zeros((1, 2), jnp.float32)  # (M, 2)
 
 
 class TransportStaticConfig(NamedTuple):
@@ -136,12 +138,11 @@ class TransportStaticConfig(NamedTuple):
     deact_bits: int = 1  # ceil(log2 max deactivation block)
     fb_bits: int = 1  # ceil(log2 max photoionization block)
     k_state: int = 0
-    # ---- absorbing-chain macro-atom sampling (replaces the RNG walk with
-    # ~4 tile-row gathers; see solve_macro_chain) ----
+    # ---- absorbing-chain macro-atom sampling (alias method; replaces the
+    # RNG walk with one row gather per draw; see solve_macro_chain) ----
     use_macro_chain: bool = False
     n_chain_states: int = 0  # M
-    chain_tile_w: int = 0  # W = ceil(M/128); 0 = identity (downbranch)
-    emit_tiles_total: int = 0  # Et
+    emit_total: int = 0  # E (emission alias entries)
 
 
 def build_continuum_grid(photo_ion, edge_eps: float = 1e-6):
@@ -207,7 +208,7 @@ def build_transport_tables(
     # pipeline when built (tardis_tpu/native), numpy fallback otherwise
     from tardis_tpu import native
     from tardis_tpu.transport.tiled_search import (
-        build_predicate_tables,
+        build_packed_pred_tables,
         build_tiled_table,
     )
 
@@ -228,22 +229,15 @@ def build_transport_tables(
     if macro_chain is not None:
         mc = macro_chain
         chain_kw = dict(
-            emit_summary=jnp.asarray(mc.emit_summary),
-            emit_tiles=jnp.asarray(mc.emit_tiles),
-            emit_tile_start=jnp.asarray(mc.emit_tile_start),
-            emit_block_start=jnp.asarray(mc.emit_block_start),
-            emit_line=jnp.asarray(mc.emit_line),
+            emit_alias=jnp.asarray(mc.emit_alias),
+            emit_info=jnp.asarray(mc.emit_info),
         )
-        if mc.chain_tiles is not None:
-            chain_kw.update(
-                chain_summary=jnp.asarray(mc.chain_summary),
-                chain_tiles=jnp.asarray(mc.chain_tiles),
-            )
+        if mc.chain_alias is not None:
+            chain_kw.update(chain_alias=jnp.asarray(mc.chain_alias))
         chain_static = dict(
             use_macro_chain=True,
             n_chain_states=mc.n_states,
-            chain_tile_w=mc.chain_tile_w,
-            emit_tiles_total=mc.emit_tiles_total,
+            emit_total=mc.emit_total,
         )
 
     if macro_state is not None:
@@ -320,6 +314,33 @@ def build_transport_tables(
             k_state=cm.k_state,
         )
 
+    # per-line aux channel packed into the search's level-0 rows: the
+    # macro-atom activation level (scatter mode: none; continuum: the
+    # Markov line2state map)
+    if continuum_state is not None:
+        aux = [continuum_macro.line2state]
+    elif mode != LINE_SCATTER:
+        aux = [line2macro]
+    else:
+        aux = []
+
+    shell_pack = np.zeros((S, 8), np.float32)
+    shell_pack[:, 0] = chi_e
+    shell_pack[:, 1] = geometry.r_inner / ct
+    shell_pack[:, 2] = geometry.r_outer / ct
+    if continuum_state is not None:
+        from tardis_tpu.constants import H as H_PLANCK
+        from tardis_tpu.constants import K_B
+        from tardis_tpu.plasma.continuum import FF_OPAC_CONST
+
+        shell_pack[:, 3] = (
+            H_PLANCK * NU_UNIT / (K_B * continuum_state.t_electrons)
+        )
+        shell_pack[:, 4] = (
+            FF_OPAC_CONST * continuum_state.ff_opacity_factor * ct
+            / NU_UNIT**3
+        )
+
     tables = TransportTables(
         r_inner=jnp.asarray(geometry.r_inner / ct, jnp.float32),
         r_outer=jnp.asarray(geometry.r_outer / ct, jnp.float32),
@@ -328,6 +349,10 @@ def build_transport_tables(
         tau_cum_hi=jnp.asarray(hi),
         tau_cum_lo=jnp.asarray(lo),
         chi_e=jnp.asarray(chi_e),
+        tau_pack=jnp.asarray(
+            np.stack([hi.reshape(-1), lo.reshape(-1)], axis=1)
+        ),
+        shell_pack=jnp.asarray(shell_pack),
         macro_cum_prob=jnp.asarray(cum_prob, jnp.float32),
         macro_block_start=jnp.asarray(block_start, jnp.int32),
         macro_dest=jnp.asarray(dest, jnp.int32),
@@ -335,7 +360,9 @@ def build_transport_tables(
         macro_line=jnp.asarray(mline, jnp.int32),
         line2macro=jnp.asarray(line2macro, jnp.int32),
         neg_nu_tiled=build_tiled_table(-line_nu_scaled),
-        pred_tables=build_predicate_tables(cum_f64, line_nu_scaled),
+        pred_packed=build_packed_pred_tables(
+            cum_f64, line_nu_scaled, aux=aux
+        ),
         **cont_kw,
         **chain_kw,
     )

@@ -8,19 +8,29 @@ TPU-native redesign of the reference's per-packet event loop
    event per step inside a single ``lax.while_loop``; dead slots are refilled
    from the unborn-packet pool so VPU lanes stay busy (persistent-threads
    pattern instead of the reference's prange over packets).
-2. **Binary-searched line walk**: the combined optical depth to line i,
-   g(i) = dC(i) + chi_e * s(i), is monotone in i (homologous flow), so the
-   event line is a 20-step batched binary search over two-float prefix sums —
-   replacing the reference's hottest loop (linear line walk).
+2. **Packed 128-ary line search with in-row extraction**: the combined
+   optical depth to line i, g(i) = dC(i) + chi_e * s(i), is monotone in i
+   (homologous flow); the event line comes from a 3-level 128-ary search
+   over PACKED rows (c_hi | c_lo | nu | aux), and the event's frequency,
+   exact two-float prefix, and per-line aux channel are extracted from the
+   already-fetched row by one-hot reduction (tiled_search.py, round 3).
+   Rationale: XLA:TPU serializes gathers at ~10 ns per gathered row
+   regardless of width, so the step budget is gather/scatter COUNT.
 3. **Difference-array line estimators**: the per-line j_blue/e_dot increments
    for a crossed range [a, b) are E*nu_i/nu^2 and E*nu_i/nu — separable in i —
-   so each event does two scatter-adds into a difference array; the per-line
-   estimator is recovered at end of iteration as nu_i * cumsum(diff)
-   (replacing estimators/radfield_estimator_calcs.py:128-170's per-line adds).
-4. **Counter-based RNG**: every draw derives from
-   (base_key, packet_id, event_idx, tag) — reproducible across batch sizes and
-   device counts (replacing np.random.seed(packet.seed), modes/
-   montecarlo_transport.py:65).
+   so each event does one flat scatter-add into an interleaved difference
+   array; the per-line estimator is recovered at end of iteration as
+   nu_i * cumsum(diff) (replacing estimators/radfield_estimator_calcs.py:
+   128-170's per-line adds).  Flat f32 scatters run ~5x faster than
+   multi-column row scatters on this stack (probe_loop_ops2).
+4. **Alias-method macro atom**: the absorbing-chain categorical draws
+   (macro_atom_solver.solve_macro_chain) sample via Walker alias rows —
+   one row gather per draw (replacing macro_atom.py:52-104's RNG walk and
+   the round-2 two-level CDF row search).
+5. **Counter-based RNG**: all of a step's draws come from ONE
+   threefry pass:  U = uniform(fold_in(fold_in(key, packet_id), event_idx),
+   (10,)) — reproducible across batch sizes and device counts (replacing
+   np.random.seed(packet.seed), modes/montecarlo_transport.py:65).
 
 Scaled units (see device_state.py): lengths / (c t_exp), frequencies / 1e15 Hz,
 energies in packet birth units.
@@ -42,7 +52,7 @@ from tardis_tpu.transport.device_state import (
     TransportTables,
 )
 from tardis_tpu.transport.tiled_search import (
-    predicate_search,
+    predicate_search_packed,
     tiled_searchsorted,
 )
 from tardis_tpu.utils.search import searchsorted_unrolled
@@ -61,17 +71,23 @@ _DISABLE_LINE_SCATTER = False
 _DISABLE_OUT_SCATTER = False
 _DISABLE_BULK_EST = False
 
-# RNG draw tags
-_TAG_TAU = 0
-_TAG_MU = 1
-_TAG_ESCAT = 2  # e-scatter vs continuum-process split
-_TAG_BFFF = 3  # bound-free vs free-free split
-_TAG_CONT_SEL = 4  # which bound-free continuum absorbed
-_TAG_MK_ROW = 6  # absorbing-Markov destination state
-_TAG_MK_DEACT = 7  # deactivation channel within the state block
-_TAG_MACRO = 8  # + jump index
-_TAG_FB_NU = 50  # free-bound emission frequency
-_TAG_FF_NU = 51  # free-free emission frequency
+# One uniform matrix U (B, 10) per step; columns by draw site.  The alias
+# accept draws reuse the FB/FF columns (those are only consumed on the
+# continuum path, which samples via the Markov tables instead).
+N_RNG_COLS = 10
+COL_TAU = 0
+COL_MU = 1
+COL_ESCAT = 2  # e-scatter vs continuum-process split
+COL_BFFF = 3  # bound-free vs free-free split
+COL_CONT_SEL = 4  # which bound-free continuum absorbed
+COL_ALBEDO = 5
+COL_MK_ROW = 6  # absorbing-state draw (alias k / Markov row u)
+COL_MK_DEACT = 7  # deactivation-channel draw
+COL_FB = 8  # free-bound emission frequency | alias accept #1
+COL_FF = 9  # free-free emission frequency | alias accept #2
+
+# legacy per-tag draw scheme (kept for the rare no-chain walk fallback)
+_TAG_MACRO = 8
 
 
 class TransportCarry(NamedTuple):
@@ -87,13 +103,15 @@ class TransportCarry(NamedTuple):
     alive: jnp.ndarray  # bool
     # pool pointer
     next_unborn: jnp.ndarray  # i32 scalar
-    # estimators: line_diff[:, 0] = j_blue diff, [:, 1] = e_dot diff
+    # estimators
     est_j: jnp.ndarray  # (S,)
     est_nubar: jnp.ndarray  # (S,)
-    line_diff: jnp.ndarray  # ((L+1)*S, 2) f32 (single packed scatter target)
-    # outputs: packed rows [nu, energy, status] (scatters are overhead-bound
-    # on this stack, so row-packing several writes into one scatter wins)
-    out_packed: jnp.ndarray  # (N, 4) f32: nu, energy, status, unused
+    # interleaved flat line difference array:
+    # index 2*(line*S + shell) + {0: j_blue, 1: e_dot}
+    line_diff: jnp.ndarray  # (2*(L+1)*S,) f32
+    # interleaved flat outputs: index 2*pkt + {0: signed nu, 1: energy};
+    # nu > 0 emitted, nu < 0 reabsorbed, 0 in-process
+    out_packed: jnp.ndarray  # (2*N,) f32
     # vpacket spawn records (capacity R; (1,8) dummy when disabled)
     # columns: r, mu, nu, energy, shell, next_line, li_type, out_line
     # (li_type: -1 birth, 1 escat, 2 line, 3 contproc — feeds per-vpacket
@@ -119,7 +137,7 @@ class TransportCarry(NamedTuple):
     # ---- two-float low parts of the accumulators (compensated summation;
     # hi + lo tracks the f64 value — replaces the reference's f64
     # accumulators, estimators/estimators_bulk.py:15) ----
-    line_lo: jnp.ndarray = jnp.zeros((1, 2), jnp.float32)
+    line_lo: jnp.ndarray = jnp.zeros(1, jnp.float32)
     est_j_lo: jnp.ndarray = jnp.zeros(1, jnp.float32)
     est_nubar_lo: jnp.ndarray = jnp.zeros(1, jnp.float32)
     cont_lo: jnp.ndarray = jnp.zeros((1, 8), jnp.float32)
@@ -164,27 +182,50 @@ class TransportCarry(NamedTuple):
     # ---- unpacking views (compatibility accessors) ----
     @property
     def out_nu(self):
-        return self.out_packed[:, 0]
+        return jnp.abs(self.out_packed[0::2])
 
     @property
     def out_energy(self):
-        return self.out_packed[:, 1]
+        return self.out_packed[1::2]
 
     @property
     def out_status(self):
-        return self.out_packed[:, 2].astype(jnp.int8)
+        nu_signed = self.out_packed[0::2]
+        return jnp.where(
+            nu_signed > 0, 1, jnp.where(nu_signed < 0, 2, 0)
+        ).astype(jnp.int8)
 
     @property
     def jblue_diff(self):
-        return self.line_diff[:, 0]
+        return self.line_diff[0::2]
 
     @property
     def edot_diff(self):
-        return self.line_diff[:, 1]
+        return self.line_diff[1::2]
+
+
+def _step_uniforms(base_key, pid, eidx):
+    """All of a step's uniforms in one threefry pass: (B, N_RNG_COLS).
+
+    Key = fold_in(fold_in(base_key, global packet id), event index); every
+    column is an independent uniform in (0, 1).  Draws are identical
+    regardless of batch size, chunking, or device count.
+    """
+
+    def one(p, e):
+        k = jax.random.fold_in(
+            jax.random.fold_in(base_key, p.astype(jnp.uint32)),
+            e.astype(jnp.uint32),
+        )
+        return jax.random.uniform(
+            k, (N_RNG_COLS,), F32, minval=1e-9, maxval=1.0
+        )
+
+    return jax.vmap(one)(pid, eidx)
 
 
 def _uniform_from_key(keys, tag):
-    """Per-slot uniform in (0,1): keys (B,2) u32 -> (B,) f32."""
+    """Legacy per-tag uniform (walk-fallback path only)."""
 
     def one(k):
         return jax.random.uniform(
@@ -223,20 +264,24 @@ def _distance_boundary(r, mu, r_in, r_out):
     in_d = -r * mu - jnp.sqrt(jnp.maximum(check, 0.0))
     distance = jnp.where(hits_inner, in_d, out_d)
     delta = jnp.where(hits_inner, -1, 1).astype(I32)
-    return jnp.maximum(distance, 0.0), delta
+    # single materialization: XLA otherwise duplicates this computation into
+    # several consumer fusions with shape-dependent FMA contraction, which
+    # breaks bitwise batch-size/device-layout invariance
+    return lax.optimization_barrier((jnp.maximum(distance, 0.0), delta))
 
 
-def _macro_walk(tables, static, i_event, shell, keys, is_line):
-    """Macro-atom / downbranch emission-line selection.
+def _macro_walk(tables, static, level, fallback_line, shell, keys,
+                is_line):
+    """Macro-atom / downbranch emission-line selection (walk fallback).
 
     Replaces the RNG probability walk of macro_atom_interaction
     (reference transport/montecarlo/macro_atom.py:52-104) with bounded jumps,
     each sampling a transition by binary search over the block's cumulative
-    probabilities.
+    probabilities.  Only used when the absorbing-chain tables would not fit
+    device memory (solve_macro_chain -> None).
     """
     S = static.n_shells
-    level = tables.line2macro[jnp.clip(i_event, 0, static.n_lines - 1)]
-    em_line = i_event  # fallback: resonant scatter
+    em_line = fallback_line  # resonant scatter if the walk never emits
     done = ~is_line
 
     def jump_body(state):
@@ -273,49 +318,38 @@ def _macro_walk(tables, static, i_event, shell, keys, is_line):
     return em_line
 
 
-def _chain_emission(tables, static, i_event, shell, keys):
-    """Absorbing-chain macro-atom emission-line selection.
+def _chain_emission(tables, static, level, shell, u_row, u_acc1, u_deact,
+                    u_acc2):
+    """Absorbing-chain macro-atom emission-line selection via alias rows.
 
-    Exact replacement for the RNG walk (reference macro_atom.py:52-104): the
-    deactivating level is drawn from the precomputed absorbing-probability
-    row B[shell, level, :] and the emitted line from that level's emission
-    block — both by 128-ary row searches over tile-aligned CDFs (two (B,128)
-    row gathers each; ~100x cheaper than the walk's dependent scalar probes
-    on TPU).  Tables built by opacities/macro_atom_solver.solve_macro_chain.
+    Exact replacement for the RNG walk (reference macro_atom.py:52-104):
+    the deactivating level j is drawn from the Walker alias table of the
+    absorbing-probability row B[shell, level, :], and the emitted line from
+    the alias table of level j's emission block — ONE row gather per draw
+    (tables built by opacities/macro_atom_solver.solve_macro_chain).
     """
     M = static.n_chain_states
-    W = static.chain_tile_w
-    Et = static.emit_tiles_total
-    L = static.n_lines
-    level = tables.line2macro[jnp.clip(i_event, 0, L - 1)]
+    E = static.emit_total
 
     if static.line_interaction_mode == LINE_MACROATOM:
-        u1 = _uniform_from_key(keys, _TAG_MK_ROW)
-        srow = shell * M + level
-        s_row = tables.chain_summary[srow]  # (B,128)
-        w = jnp.sum((s_row < u1[:, None]), axis=1).astype(I32)
-        w = jnp.minimum(w, W - 1)
-        t_row = tables.chain_tiles[srow * W + w]
-        cnt = jnp.sum((t_row < u1[:, None]), axis=1).astype(I32)
-        j = jnp.minimum(w * TILE_128 + cnt, M - 1)
+        x = u_row * M
+        k = jnp.minimum(x.astype(I32), M - 1)
+        row = tables.chain_alias[(shell * M + level) * M + k]  # (B, 2)
+        j = jnp.where(u_acc1 < row[:, 0], k, row[:, 1].astype(I32))
     else:  # downbranch: deactivate at the activated level
         j = level
 
-    u2 = _uniform_from_key(keys, _TAG_MK_DEACT)
-    es_row = tables.emit_summary[shell * M + j]
-    w2 = jnp.sum((es_row < u2[:, None]), axis=1).astype(I32)
-    tile0 = tables.emit_tile_start[j]
-    ntile = tables.emit_tile_start[j + 1] - tile0
-    w2 = jnp.minimum(w2, jnp.maximum(ntile - 1, 0))
-    e_row = tables.emit_tiles[shell * Et + tile0 + w2]
-    cnt2 = jnp.sum((e_row < u2[:, None]), axis=1).astype(I32)
-    e0 = tables.emit_block_start[j]
-    e1 = tables.emit_block_start[j + 1]
-    slot = jnp.clip(e0 + w2 * TILE_128 + cnt2, e0, jnp.maximum(e1 - 1, e0))
-    return tables.emit_line[slot]
+    info = tables.emit_info[j]  # (B, 2): [e0, n]
+    e0 = info[:, 0].astype(I32)
+    n = info[:, 1]
+    x2 = u_deact * n
+    k2 = jnp.clip(x2.astype(I32), 0, jnp.maximum(n.astype(I32) - 1, 0))
+    erow = tables.emit_alias[shell * E + e0 + k2]  # (B, 3)
+    em_line = jnp.where(u_acc2 < erow[:, 0], erow[:, 1], erow[:, 2])
+    return em_line.astype(I32)
 
 
-def _markov_interaction(tables, static, state0, shell, keys):
+def _markov_interaction(tables, static, state0, shell, u1, u2):
     """Absorbing-Markov macro-atom interaction: exactly two categorical draws.
 
     Replaces the reference's macro_atom_interaction_iip
@@ -328,7 +362,6 @@ def _markov_interaction(tables, static, state0, shell, keys):
     """
     M = static.n_macro_states
     S = static.n_shells
-    u1 = _uniform_from_key(keys, _TAG_MK_ROW)
     row_base = (shell * M + state0) * M
 
     def pred_row(i):
@@ -340,7 +373,6 @@ def _markov_interaction(tables, static, state0, shell, keys):
     )
     a = jnp.clip(a, 0, M - 1)
 
-    u2 = _uniform_from_key(keys, _TAG_MK_DEACT)
     b0 = tables.deact_block_start[a]
     b1 = tables.deact_block_start[a + 1]
 
@@ -352,14 +384,13 @@ def _markov_interaction(tables, static, state0, shell, keys):
     return tables.deact_kind[t], tables.deact_id[t]
 
 
-def _sample_fb_nu(tables, static, cont_id, shell, keys):
+def _sample_fb_nu(tables, static, cont_id, shell, z):
     """Sample a free-bound emission frequency from the per-block CDF.
 
     (reference sample_nu_free_bound, interaction_events.py:40-57: searchsorted
     into the cumulative emissivity block + linear inverse interpolation)
     """
     S = static.n_shells
-    z = _uniform_from_key(keys, _TAG_FB_NU)
     c = jnp.clip(cont_id, 0, static.n_continua - 1)
     b0 = tables.pion_block_start[c]
     b1 = tables.pion_block_start[c + 1]
@@ -388,22 +419,34 @@ def make_transport_step(
     pool_w=None,
 ):
     """Build the per-event step function for lax.while_loop."""
-    S = static.n_lines and static.n_shells  # noqa - readability below
     S = static.n_shells
     L = static.n_lines
+    LP1 = L + 1
     beta_inner = tables.r_inner[0]
-    # flatten 2-D tables: 1-D dynamic gathers compile and run better on TPU
     tables = tables._replace(
         macro_cum_prob=tables.macro_cum_prob.reshape(-1),
-        tau_cum_hi=tables.tau_cum_hi.reshape(-1),
-        tau_cum_lo=tables.tau_cum_lo.reshape(-1),
     )
-    LP1 = L + 1
     # birth line ids for the whole pool, hoisted out of the event loop
     # (reference packets/radiative_packet.py:96-110); one tiled search per
     # iteration instead of one per step
     pool_birth = tiled_searchsorted(
         tables.neg_nu_tiled, -pool_nu_cmf, side="right"
+    )
+    # packed pool rows -> ONE refill gather per step instead of 3-4
+    pool_pack = jnp.stack(
+        [
+            pool_mu,
+            pool_nu_cmf,
+            pool_birth.astype(F32),
+            (pool_w if pool_w is not None
+             else jnp.ones_like(pool_mu)),
+        ],
+        axis=1,
+    )
+    use_walk = (
+        static.line_interaction_mode != LINE_SCATTER
+        and not static.use_macro_chain
+        and not static.enable_continuum
     )
 
     def step(carry: TransportCarry) -> TransportCarry:
@@ -413,8 +456,10 @@ def make_transport_step(
         new_ids = carry.next_unborn + order - 1
         can_fill = dead & (new_ids < n_packets)
         ids_c = jnp.clip(new_ids, 0, n_packets - 1)
-        b_mu = pool_mu[ids_c]
-        b_nu_cmf = pool_nu_cmf[ids_c]
+        prow = pool_pack[ids_c]  # (B, 4)
+        b_mu = prow[:, 0]
+        b_nu_cmf = prow[:, 1]
+        birth_line = prow[:, 2].astype(I32)
         if static.enable_full_relativity:
             # (reference set_packet_props_full_relativity,
             #  classic/packet_propagation.py:284-317)
@@ -427,25 +472,22 @@ def make_transport_step(
             inv_dop = 1.0 / (1.0 - b_mu * beta_inner)
             b_nu = b_nu_cmf * inv_dop
             b_energy = inv_dop
-        if pool_w is not None:
-            # per-packet statistical weights (weighted / relativistic
-            # sources; reference black_body_weighted.py:9,
-            # black_body_relativistic.py:148-179)
-            b_energy = b_energy * pool_w[ids_c]
+        # per-packet statistical weights (weighted / relativistic sources;
+        # reference black_body_weighted.py:9, black_body_relativistic.py)
+        b_energy = b_energy * prow[:, 3]
 
         r = jnp.where(can_fill, beta_inner, carry.r)
         mu = jnp.where(can_fill, b_mu, carry.mu)
         nu = jnp.where(can_fill, b_nu, carry.nu)
         energy = jnp.where(can_fill, b_energy, carry.energy)
         shell = jnp.where(can_fill, 0, carry.shell)
-        # birth line id: count of lines with nu_line >= nu_cmf
-        # (precomputed per pool packet, see pool_birth above)
-        birth_line = pool_birth[ids_c]
         next_line = jnp.where(can_fill, birth_line, carry.next_line)
         pkt_id = jnp.where(can_fill, new_ids, carry.pkt_id)
         event_idx = jnp.where(can_fill, 0, carry.event_idx)
         alive = carry.alive | can_fill
         next_unborn = carry.next_unborn + jnp.sum(can_fill.astype(I32))
+        # materialize the refilled lane state once (see _distance_boundary)
+        r, mu, nu, energy = lax.optimization_barrier((r, mu, nu, energy))
 
         # birth vpacket spawn records (reference packet_propagation.py:108-118:
         # volley at packet birth before the first trace)
@@ -474,21 +516,25 @@ def make_transport_step(
         else:
             vp_packed, vp_count = carry.vp_packed, carry.vp_count
 
-        # ------------------------------------------------ 2. RNG keys
-        def mk_key(pid, eidx):
-            # pid is the GLOBAL packet id (local id + device offset) so draws
-            # are identical regardless of device count / sharding layout
-            return jax.random.fold_in(
-                jax.random.fold_in(
-                    base_key, (pid + pid_offset).astype(jnp.uint32)
-                ),
-                eidx.astype(jnp.uint32),
-            )
+        # ------------------------------------------------ 2. RNG
+        U = _step_uniforms(base_key, pkt_id + pid_offset, event_idx)
+        if use_walk:
+            # legacy per-tag keys for the walk fallback's jump draws
+            def mk_key(pid, eidx):
+                return jax.random.fold_in(
+                    jax.random.fold_in(
+                        base_key, (pid + pid_offset).astype(jnp.uint32)
+                    ),
+                    eidx.astype(jnp.uint32),
+                )
 
-        keys = jax.vmap(mk_key)(pkt_id, event_idx)
+            walk_keys = jax.vmap(mk_key)(pkt_id, event_idx)
 
         # ------------------------------------------------ 3. trace
         shell_c = jnp.clip(shell, 0, S - 1)
+        chi_e_cmf = tables.chi_e[shell_c]
+        r_in = tables.r_inner[shell_c]
+        r_out = tables.r_outer[shell_c]
         z = mu * r
         if static.enable_full_relativity:
             gamma = 1.0 / jnp.sqrt(jnp.maximum(1.0 - r * r, 1e-12))
@@ -496,7 +542,6 @@ def make_transport_step(
         else:
             dop = 1.0 - z  # = 1 - mu*beta(r)  (homologous: beta = r/ct)
         nu_cmf = nu * dop
-        chi_e_cmf = tables.chi_e[shell_c]
         if static.enable_continuum:
             # chi_continuum = chi_e + chi_bf(nu_cmf) + chi_ff(nu_cmf)
             # (reference modes/iip/packet_propagation.py:125-141); bound-free
@@ -519,9 +564,7 @@ def make_transport_step(
             x0 = tables.cont_xsect[gcell[:, None] * Cn + cols]
             x1 = tables.cont_xsect[(gcell[:, None] + 1) * Cn + cols]
             xs_bf = x0 + tfrac[:, None] * (x1 - x0)  # (B, C)
-            boltz = jnp.exp(
-                -nu_cmf * tables.cont_boltz_coef[shell_c]
-            )
+            boltz = jnp.exp(-nu_cmf * tables.cont_boltz_coef[shell_c])
             coefA = tables.cont_A[cols * S + shell_c[:, None]]
             coefB = tables.cont_B[cols * S + shell_c[:, None]]
             chi_bf_cum = jnp.cumsum(
@@ -540,44 +583,14 @@ def make_transport_step(
         if static.enable_full_relativity:
             # (reference classic/packet_propagation.py:138-141)
             chi = chi * dop
-        r_in = tables.r_inner[shell_c]
-        r_out = tables.r_outer[shell_c]
         d_b, delta_shell = _distance_boundary(r, mu, r_in, r_out)
 
-        tau_event = -jnp.log(_uniform_from_key(keys, _TAG_TAU))
+        tau_event = -jnp.log(U[:, COL_TAU])
 
-        row0 = shell_c * LP1
-        c0_hi = tables.tau_cum_hi[row0 + next_line]
-        c0_lo = tables.tau_cum_lo[row0 + next_line]
-
-        if static.enable_full_relativity:
-            # resonance: nu*(1-y)*gamma(sqrt(p^2+y^2)) = nu_i -> quadratic in
-            # y = mu*r + s (monotone in line index; cf. reference
-            # calculate_distance_line_full_relativity,
-            # transport/geometry/calculate_distances.py:198-221)
-            p2 = jnp.maximum(r * r * (1.0 - mu * mu), 0.0)
-
-            def s_of(i):
-                nu_i = tables.line_nu[jnp.clip(i, 0, L - 1)]
-                a = nu_i * nu_i
-                b = nu * nu
-                disc = jnp.maximum(a * (a - (a + b) * p2), 0.0)
-                y = (b - jnp.sqrt(disc)) / (a + b)
-                return jnp.maximum(y - z, 0.0)
-
-        else:
-
-            def s_of(i):
-                zeta = 1.0 - tables.line_nu[jnp.clip(i, 0, L - 1)] / nu
-                return jnp.maximum(zeta - z, 0.0)
-
-        def dC(i):  # cumulative line tau over [next_line, i)
-            return df32_diff(
-                tables.tau_cum_hi[row0 + i],
-                tables.tau_cum_lo[row0 + i],
-                c0_hi,
-                c0_lo,
-            )
+        # exclusive prefix at the domain start: ONE packed (hi, lo) gather
+        c0row = tables.tau_pack[shell_c * LP1 + next_line]  # (B, 2)
+        c0_hi = c0row[:, 0]
+        c0_lo = c0row[:, 1]
 
         # comoving frequency at the boundary crossing: lines with
         # nu_i <= nu_thresh resonate beyond the boundary (reference
@@ -594,8 +607,8 @@ def make_transport_step(
         else:
             p2_fr = None
             nu_thresh = nu * (1.0 - (z + d_b))
-        i_event = predicate_search(
-            tables.pred_tables,
+        i_event, nu_ev, cev_hi, cev_lo, aux_ev = predicate_search_packed(
+            tables.pred_packed,
             shell_c,
             next_line,
             L,
@@ -611,13 +624,20 @@ def make_transport_step(
         )
         # classify: i_event is the first line whose resonance lies past the
         # boundary (not found) OR the first line where the accumulated
-        # optical depth exceeds tau_event (found) — one shared tau gather
-        # serves both the tau_before (found) and tau_total (boundary) roles
-        nu_ev = tables.line_nu[jnp.clip(i_event, 0, L - 1)]
+        # optical depth exceeds tau_event (found); the event frequency and
+        # exact exclusive prefix come from the search row extraction
         found = (i_event < L) & (nu_ev > nu_thresh)
-        s_ev = s_of(i_event)
-        tau_at = dC(i_event)
+        if static.enable_full_relativity:
+            a_fr = nu_ev * nu_ev
+            b_fr = nu * nu
+            disc = jnp.maximum(a_fr * (a_fr - (a_fr + b_fr) * p2_fr), 0.0)
+            y_ev = (b_fr - jnp.sqrt(disc)) / (a_fr + b_fr)
+            s_ev = jnp.maximum(y_ev - z, 0.0)
+        else:
+            s_ev = jnp.maximum(1.0 - nu_ev / nu - z, 0.0)
+        tau_at = df32_diff(cev_hi, cev_lo, c0_hi, c0_lo)
         d_cont = jnp.maximum((tau_event - tau_at) / chi, 0.0)
+        s_ev, d_cont = lax.optimization_barrier((s_ev, d_cont))
         escat_f = d_cont < s_ev
         if static.disable_line_scattering:
             escat_f = jnp.ones_like(escat_f)
@@ -634,6 +654,10 @@ def make_transport_step(
             jnp.where(escat_f, d_cont, s_ev),
             jnp.where(escat_nf, d_cont, d_b),
         )
+        # materialize once: XLA fusion otherwise RECOMPUTES shared
+        # intermediates per consumer with shape-dependent FMA contraction,
+        # breaking bitwise batch-size/chunk/device-layout invariance
+        distance = lax.optimization_barrier(distance)
         # exclusive end of crossed-line range (LINE includes its own line)
         end_line = jnp.where(
             found & ~escat_f, i_event + 1, i_event
@@ -651,13 +675,14 @@ def make_transport_step(
             est_j, est_j_lo = carry.est_j, carry.est_j_lo
             est_nubar, est_nubar_lo = carry.est_nubar, carry.est_nubar_lo
         else:
+            # ONE (2, B) x (B, S) matmul covers both bulk estimators
+            wj2 = jnp.stack([w_j, w_j * nu_cmf], axis=0)
+            sums = jnp.dot(wj2, onehot, preferred_element_type=F32)
             est_j, est_j_lo = df32_accumulate(
-                carry.est_j, carry.est_j_lo,
-                jnp.sum(w_j[:, None] * onehot, axis=0),
+                carry.est_j, carry.est_j_lo, sums[0]
             )
             est_nubar, est_nubar_lo = df32_accumulate(
-                carry.est_nubar, carry.est_nubar_lo,
-                jnp.sum((w_j * nu_cmf)[:, None] * onehot, axis=0),
+                carry.est_nubar, carry.est_nubar_lo, sums[1]
             )
 
         if static.enable_continuum:
@@ -682,7 +707,7 @@ def make_transport_step(
             )
             est_ff_heat, ff_lo = df32_accumulate(
                 carry.est_ff_heat, carry.ff_lo,
-                jnp.sum((w_j * chi_ff)[:, None] * onehot, axis=0),
+                jnp.dot(w_j * chi_ff, onehot, preferred_element_type=F32),
             )
         else:
             cont_moments, cont_lo = carry.cont_moments, carry.cont_lo
@@ -697,14 +722,17 @@ def make_transport_step(
         else:
             w1 = live_f * energy / (nu * nu)  # j_blue weight
             w2 = live_f * energy / nu  # e_dot weight
-        idx_a = next_line * S + shell_c
-        idx_b = end_line * S + shell_c
-        idx_cat = jnp.concatenate([idx_a, idx_b])
-        w12 = jnp.stack([w1, w2], axis=1)  # (B, 2)
-        vals_cat = jnp.concatenate([w12, -w12])  # (2B, 2)
         if _DISABLE_LINE_SCATTER:
             line_diff, line_lo = carry.line_diff, carry.line_lo
         else:
+            # ONE flat interleaved scatter-add (4B scalar updates): flat
+            # f32 scatters run ~5x faster than (rows, 2) scatters on TPU
+            base_a = (next_line * S + shell_c) * 2
+            base_b = (end_line * S + shell_c) * 2
+            idx_cat = jnp.concatenate(
+                [base_a, base_a + 1, base_b, base_b + 1]
+            )
+            vals_cat = jnp.concatenate([w1, w2, -w1, -w2])
             ldelta = jnp.zeros_like(carry.line_diff).at[idx_cat].add(
                 vals_cat
             )
@@ -718,6 +746,7 @@ def make_transport_step(
                         1e-20)
         )
         mu_new = (mu * r + distance) / r_new
+        r_new, mu_new = lax.optimization_barrier((r_new, mu_new))
 
         # ------------------------------------------------ 6. events
         is_boundary = alive & (event == EV_BOUNDARY)
@@ -727,7 +756,7 @@ def make_transport_step(
             # split the continuous event into Thomson vs continuum process
             # (reference trace_packet escat_prob branch,
             #  homologous_rad_packet_transport.py:131-141)
-            u_esc = _uniform_from_key(keys, _TAG_ESCAT)
+            u_esc = U[:, COL_ESCAT]
             escat_prob = chi_e_cmf / jnp.maximum(
                 chi_e_cmf + chi_bf_tot + chi_ff, 1e-30
             )
@@ -743,15 +772,16 @@ def make_transport_step(
         if static.inner_boundary_albedo > 0.0:
             # reflective inner boundary (reference
             # enable_reflective_inner_boundary config)
-            u_alb = _uniform_from_key(keys, 5)
-            reflected = hits_core & (u_alb < static.inner_boundary_albedo)
+            reflected = hits_core & (
+                U[:, COL_ALBEDO] < static.inner_boundary_albedo
+            )
             reabsorbed = hits_core & ~reflected
         else:
             reflected = jnp.zeros_like(hits_core)
             reabsorbed = hits_core
 
         # scatter/line common: new direction drawn in CMF
-        mu_draw = 2.0 * _uniform_from_key(keys, _TAG_MU) - 1.0
+        mu_draw = 2.0 * U[:, COL_MU] - 1.0
         if static.enable_full_relativity:
             gamma_new = 1.0 / jnp.sqrt(jnp.maximum(1.0 - r_new * r_new,
                                                    1e-12))
@@ -774,30 +804,32 @@ def make_transport_step(
             # IIP mode: line AND continuum absorptions both activate the
             # absorbing-Markov macro atom (reference continuum_event +
             # line_scatter_event -> macro_atom_event -> interaction_iip)
-            u_bfff = _uniform_from_key(keys, _TAG_BFFF)
             frac_bf = chi_bf_tot / jnp.maximum(chi_bf_tot + chi_ff, 1e-30)
-            is_bf = u_bfff < frac_bf
-            u_csel = _uniform_from_key(keys, _TAG_CONT_SEL) * chi_bf_tot
+            is_bf = U[:, COL_BFFF] < frac_bf
+            u_csel = U[:, COL_CONT_SEL] * chi_bf_tot
             c_sel = jnp.sum(
                 (chi_bf_cum < u_csel[:, None]).astype(I32), axis=1
             )
             c_sel = jnp.clip(c_sel, 0, static.n_continua - 1)
+            line_state = aux_ev[0].astype(I32)  # line2state at i_event
             state0 = jnp.where(
                 is_line,
-                tables.line2state[jnp.clip(i_event, 0, L - 1)],
+                line_state,
                 jnp.where(
                     is_bf, tables.photo_ion_state[c_sel], static.k_state
                 ),
             )
             em_kind, chan_id = _markov_interaction(
-                tables, static, state0, shell_c, keys
+                tables, static, state0, shell_c,
+                U[:, COL_MK_ROW], U[:, COL_MK_DEACT],
             )
             em_line = jnp.clip(chan_id, 0, L - 1)
-            nu_cmf_fb = _sample_fb_nu(tables, static, chan_id, shell_c, keys)
-            u_ff = _uniform_from_key(keys, _TAG_FF_NU)
+            nu_cmf_fb = _sample_fb_nu(
+                tables, static, chan_id, shell_c, U[:, COL_FB]
+            )
             # nu_ff = -kT/h ln(u) (sample_nu_free_free,
             # interaction_events.py:141-152)
-            nu_cmf_ff = -jnp.log(u_ff) / tables.cont_boltz_coef[shell_c]
+            nu_cmf_ff = -jnp.log(U[:, COL_FF]) / tables.cont_boltz_coef[shell_c]
             nu_cmf_em = jnp.where(
                 em_kind == 0,
                 tables.line_nu[em_line],
@@ -817,17 +849,22 @@ def make_transport_step(
         else:
             if static.line_interaction_mode == LINE_SCATTER:
                 em_line = i_event
-            elif static.use_macro_chain:
-                em_line = jnp.where(
-                    is_line,
-                    _chain_emission(tables, static, i_event, shell_c, keys),
-                    i_event,
-                )
+                nu_line_em = nu_ev  # extracted by the search: no gather
             else:
-                em_line = _macro_walk(
-                    tables, static, i_event, shell_c, keys, is_line
-                )
-            nu_line_em = tables.line_nu[jnp.clip(em_line, 0, L - 1)]
+                level = aux_ev[0].astype(I32)  # line2macro at i_event
+                if static.use_macro_chain:
+                    em_line = _chain_emission(
+                        tables, static, level, shell_c,
+                        U[:, COL_MK_ROW], U[:, COL_FB],
+                        U[:, COL_MK_DEACT], U[:, COL_FF],
+                    )
+                else:
+                    em_line = _macro_walk(
+                        tables, static, level, i_event, shell_c, walk_keys,
+                        is_line,
+                    )
+                em_line = jnp.where(is_line, em_line, i_event)
+                nu_line_em = tables.line_nu[jnp.clip(em_line, 0, L - 1)]
             nu_line_new = nu_line_em * inv_dop_new
             next_line_em = em_line + 1
         e_line = energy * dop_old_pos * inv_dop_new
@@ -850,6 +887,7 @@ def make_transport_step(
             is_boundary & ~emitted & ~reabsorbed & ~reflected,
             new_shell, shell,
         )
+        r, mu, nu, energy = lax.optimization_barrier((r, mu, nu, energy))
 
         # full tracker writes (event log capped at K events per packet)
         if static.track_rpacket_length > 0:
@@ -915,16 +953,16 @@ def make_transport_step(
 
         # ------------------------------------------------ 7. deaths
         dying = emitted | reabsorbed
-        out_idx = jnp.where(dying, pkt_id, n_packets)  # n_packets = dropped
-        status_val = jnp.where(emitted, 1.0, 2.0)
-        out_rows = jnp.stack(
-            [nu, energy, status_val, jnp.zeros_like(nu)], axis=1
-        )
+        out_base = jnp.where(dying, pkt_id, n_packets) * 2
+        nu_signed = jnp.where(emitted, nu, -nu)
         if _DISABLE_OUT_SCATTER:
             out_packed = carry.out_packed
         else:
-            out_packed = carry.out_packed.at[out_idx].set(
-                out_rows, mode="drop"
+            # flat interleaved scatter (2B scalar updates, drop for alive)
+            out_packed = carry.out_packed.at[
+                jnp.concatenate([out_base, out_base + 1])
+            ].set(
+                jnp.concatenate([nu_signed, energy]), mode="drop"
             )
         alive = alive & ~dying
         event_idx = event_idx + 1
@@ -986,8 +1024,8 @@ def init_carry(static: TransportStaticConfig, batch_size: int, n_packets: int):
         next_unborn=jnp.zeros((), I32),
         est_j=z(S, F32),
         est_nubar=z(S, F32),
-        line_diff=z(((L + 1) * S, 2), F32),
-        out_packed=z((n_packets, 4), F32),
+        line_diff=z(2 * (L + 1) * S, F32),
+        out_packed=z(2 * n_packets, F32),
         vp_packed=z((R, 8), F32),
         vp_count=jnp.zeros((), I32),
         tr_packed=z((TRK, 6), F32),
@@ -1004,7 +1042,7 @@ def init_carry(static: TransportStaticConfig, batch_size: int, n_packets: int):
         est_ff_heat=z(S if static.enable_continuum else 1, F32),
         n_steps=jnp.zeros((), I32),
         n_events=jnp.zeros((), F32),
-        line_lo=z(((L + 1) * S, 2), F32),
+        line_lo=z(2 * (L + 1) * S, F32),
         est_j_lo=z(S, F32),
         est_nubar_lo=z(S, F32),
         cont_lo=z(
@@ -1133,10 +1171,9 @@ def run_transport(
     XLA program execution running longer than roughly a minute — a 1e7-
     packet while_loop (~70 s) reliably crashes the worker, while 2e6
     packets (~12 s) is fine at any packet count when split.  The default
-    chunk therefore bounds per-kernel wall time (~12 s measured at 1.9e5
-    packets/s), NOT device memory; raise it on runtimes without the
-    watchdog.  Larger chunks also improve lane occupancy (82% at 2e6 vs
-    55% at 5e5), so the default is the fastest safe setting.
+    chunk therefore bounds per-kernel wall time, NOT device memory; raise
+    it on runtimes without the watchdog.  Larger chunks also improve lane
+    occupancy, so the default is the fastest safe setting.
     """
     if n_packets > chunk_size > 0:
         return _run_transport_chunked(

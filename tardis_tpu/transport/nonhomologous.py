@@ -72,13 +72,14 @@ from tardis_tpu.transport.device_state import (
     TransportStaticConfig,
 )
 from tardis_tpu.transport.kernel import (
+    COL_ALBEDO,
+    COL_MU,
+    COL_TAU,
     TransportCarry,
     _bsearch_first_true,  # noqa: F401 (re-exported for tests)
     _distance_boundary,
     _macro_walk,
-    _uniform_from_key,
-    _TAG_MU,
-    _TAG_TAU,
+    _step_uniforms,
     init_carry,
 )
 from tardis_tpu.transport.tiled_search import (
@@ -252,16 +253,19 @@ def make_nonhom_step(
         alive = carry.alive | can_fill
         next_unborn = carry.next_unborn + jnp.sum(can_fill.astype(I32))
 
-        # ------------------------------------------------ 2. RNG keys
-        def mk_key(pid, eidx):
-            return jax.random.fold_in(
-                jax.random.fold_in(
-                    base_key, (pid + pid_offset).astype(jnp.uint32)
-                ),
-                eidx.astype(jnp.uint32),
-            )
+        # ------------------------------------------------ 2. RNG
+        U = _step_uniforms(base_key, pkt_id + pid_offset, event_idx)
+        if static.line_interaction_mode != LINE_SCATTER:
+            # legacy per-tag keys for the macro walk's jump draws
+            def mk_key(pid, eidx):
+                return jax.random.fold_in(
+                    jax.random.fold_in(
+                        base_key, (pid + pid_offset).astype(jnp.uint32)
+                    ),
+                    eidx.astype(jnp.uint32),
+                )
 
-        keys = jax.vmap(mk_key)(pkt_id, event_idx)
+            keys = jax.vmap(mk_key)(pkt_id, event_idx)
 
         # ------------------------------------------------ 3. trace
         shell_c = jnp.clip(shell, 0, S - 1)
@@ -283,7 +287,7 @@ def make_nonhom_step(
         nu_cmf_b = nu * (1.0 - _beta_los(m, q, p2, xb))
         fwd = nu_cmf_b <= nu_cmf
 
-        tau_event = -jnp.log(_uniform_from_key(keys, _TAG_TAU))
+        tau_event = -jnp.log(U[:, COL_TAU])
 
         next_line_c = jnp.clip(next_line, 0, L)
         # forward (redshift) walk domain [lo_f, hi_f) in line-index space
@@ -391,11 +395,10 @@ def make_nonhom_step(
         w2 = live_f * energy / nu
         rng_lo = jnp.where(fwd, lo_f, cnt_m - k_crossed)
         rng_hi = jnp.where(fwd, lo_f + k_crossed, cnt_m)
-        idx_a = rng_lo * S + shell_c
-        idx_b = rng_hi * S + shell_c
-        idx_cat = jnp.concatenate([idx_a, idx_b])
-        w12 = jnp.stack([w1, w2], axis=1)
-        vals_cat = jnp.concatenate([w12, -w12])
+        base_a = (rng_lo * S + shell_c) * 2
+        base_b = (rng_hi * S + shell_c) * 2
+        idx_cat = jnp.concatenate([base_a, base_a + 1, base_b, base_b + 1])
+        vals_cat = jnp.concatenate([w1, w2, -w1, -w2])
         line_diff = carry.line_diff.at[idx_cat].add(vals_cat)
 
         # ------------------------------------------------ 5. move
@@ -415,14 +418,14 @@ def make_nonhom_step(
         emitted = is_boundary & (new_shell >= S)
         hits_core = is_boundary & (new_shell < 0)
         if static.inner_boundary_albedo > 0.0:
-            u_alb = _uniform_from_key(keys, 5)
+            u_alb = U[:, COL_ALBEDO]
             reflected = hits_core & (u_alb < static.inner_boundary_albedo)
             reabsorbed = hits_core & ~reflected
         else:
             reflected = jnp.zeros_like(hits_core)
             reabsorbed = hits_core
 
-        mu_draw = 2.0 * _uniform_from_key(keys, _TAG_MU) - 1.0
+        mu_draw = 2.0 * U[:, COL_MU] - 1.0
         beta_new = b_in + m * (r_new - r_in)  # interactions stay in-shell
         dop_old_pos = 1.0 - mu_new * beta_new
         inv_dop_new = 1.0 / (1.0 - mu_draw * beta_new)
@@ -434,8 +437,9 @@ def make_nonhom_step(
         if static.line_interaction_mode == LINE_SCATTER:
             em_line = i_event
         else:
+            level = tables.line2macro[jnp.clip(i_event, 0, L - 1)]
             em_line = _macro_walk(
-                tables, static, i_event, shell_c, keys, is_line
+                tables, static, level, i_event, shell_c, keys, is_line
             )
         nu_line_new = tables.line_nu[jnp.clip(em_line, 0, L - 1)] * inv_dop_new
         e_line = energy * dop_old_pos * inv_dop_new
@@ -501,12 +505,11 @@ def make_nonhom_step(
 
         # ------------------------------------------------ 7. deaths
         dying = emitted | reabsorbed
-        out_idx = jnp.where(dying, pkt_id, n_packets)
-        status_val = jnp.where(emitted, 1.0, 2.0)
-        out_rows = jnp.stack(
-            [nu, energy, status_val, jnp.zeros_like(nu)], axis=1
-        )
-        out_packed = carry.out_packed.at[out_idx].set(out_rows, mode="drop")
+        out_base = jnp.where(dying, pkt_id, n_packets) * 2
+        nu_signed = jnp.where(emitted, nu, -nu)
+        out_packed = carry.out_packed.at[
+            jnp.concatenate([out_base, out_base + 1])
+        ].set(jnp.concatenate([nu_signed, energy]), mode="drop")
         alive = alive & ~dying
         event_idx = event_idx + 1
 

@@ -344,9 +344,9 @@ class TransportSolver:
 
         # difference-array -> per-line estimators
         nu_scaled = atom_data.line_nu / NU_UNIT
-        line_diff = carry.line_diff_f64()
-        jb = np.cumsum(line_diff[:, 0].reshape(L + 1, S), axis=0)[:L]
-        ed = np.cumsum(line_diff[:, 1].reshape(L + 1, S), axis=0)[:L]
+        line_diff = carry.line_diff_f64().reshape(L + 1, S, 2)
+        jb = np.cumsum(line_diff[:, :, 0], axis=0)[:L]
+        ed = np.cumsum(line_diff[:, :, 1], axis=0)[:L]
         if full_relativity is None:
             full_relativity = self.enable_full_relativity
         if full_relativity:
@@ -389,13 +389,16 @@ class TransportSolver:
             )
 
         out = np.asarray(carry.out_packed, dtype=np.float64)
+        out_nu_signed = out[0::2]
         return TransportResult(
             continuum=continuum,
             rpacket_tracker=rpacket_tracker,
             last_interaction=last_interaction,
-            output_nu=out[:, 0] * NU_UNIT,
-            output_energy=out[:, 1] * e0,
-            output_status=out[:, 2].astype(np.int8),
+            output_nu=np.abs(out_nu_signed) * NU_UNIT,
+            output_energy=out[1::2] * e0,
+            output_status=np.where(
+                out_nu_signed > 0, 1, np.where(out_nu_signed < 0, 2, 0)
+            ).astype(np.int8),
             j_estimator=est_j,
             nu_bar_estimator=est_nubar,
             j_blue_estimator=j_blue,

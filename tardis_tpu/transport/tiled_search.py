@@ -244,3 +244,231 @@ def predicate_search(
     # transition, fall back to the domain start clamp below
     i_event = jnp.clip(i_event, lo_dom, n_lines)
     return i_event
+
+
+# ---------------------------------------------------------------------------
+# Packed predicate search (round-3 fast path)
+# ---------------------------------------------------------------------------
+#
+# The round-2 search cost ~8 serialized B-wide row gathers per step (5 for
+# the 3 levels + 3 more afterwards for nu_ev / two-float dC at the event
+# line).  Measured XLA:TPU gather cost is ~10 ns per gathered row REGARDLESS
+# of row width (latency-bound), so the fast path:
+#
+# - packs (c_hi | c_lo | nu | aux) into ONE wide level-0 row -> 1 gather;
+# - packs (c1_hi | nu1) into one level-1 row -> 1 gather;
+# - uses a tile STRIDE of 127 with one-entry overlap so the event line is
+#   guaranteed to fall INSIDE the fetched level-0 row, letting nu_ev, the
+#   exact two-float C[i_event], and any aux per-line channel be extracted
+#   with a one-hot reduction on the VPU instead of three more gathers.
+#
+# Coarse levels still compare hi-only f32 prefix values, so near-tie events
+# can shift by O(1) line exactly as in the round-2 search (module docstring
+# above; SURVEY.md §7 hard part (c)).
+
+STRIDE = 127  # level tile stride (128-entry rows, one-entry overlap)
+
+
+class PackedPredTables(NamedTuple):
+    """Packed per-shell tables for predicate_search_packed.
+
+    Registered as a pytree whose integer geometry (t0, t1, n_aux) is STATIC
+    aux data, so jitted callers can use them in Python control flow."""
+
+    lvl0: jnp.ndarray  # (S*T0, 128*(3+n_aux)) [c_hi | c_lo | nu | aux...]
+    lvl1: jnp.ndarray  # (S*T1, 256) [c1_hi | nu1]
+    lvl2: jnp.ndarray  # (S, 256) [c2_hi | nu2]
+    t0: int
+    t1: int
+    n_aux: int
+
+
+import jax as _jax
+
+_jax.tree_util.register_pytree_node(
+    PackedPredTables,
+    lambda p: ((p.lvl0, p.lvl1, p.lvl2), (p.t0, p.t1, p.n_aux)),
+    lambda aux, ch: PackedPredTables(*ch, *aux),
+)
+
+
+def build_packed_pred_tables(
+    cum_f64: np.ndarray,  # (S, L+1) f64 inclusive prefix with leading 0
+    line_nu: np.ndarray,  # (L,) descending, kernel units
+    aux: list | tuple = (),  # per-line f32-exact channels (e.g. line2macro)
+) -> PackedPredTables:
+    S, Lp1 = cum_f64.shape
+    L = Lp1 - 1
+    t0 = -(-max(L, 1) // STRIDE)
+    t1 = -(-t0 // STRIDE)
+    assert t1 <= TILE, "line list too large for 3-level packed search"
+
+    # entry for line i holds (C[i+1], nu_i, aux_i); padding i >= L holds
+    # (+inf, -inf, 0) -- the -inf frequency fires the boundary arm of the
+    # predicate, keeping it monotone
+    n_pos = t0 * STRIDE + TILE  # last row reaches t0*127 .. +128
+    c_pad = np.full((S, n_pos), np.inf, np.float64)
+    c_pad[:, :L] = cum_f64[:, 1:]
+    nu_pad = np.full(n_pos, -np.inf, np.float32)
+    nu_pad[:L] = line_nu
+    aux_pad = []
+    for a in aux:
+        ap = np.zeros(n_pos, np.float32)
+        ap[:L] = np.asarray(a, np.float32)
+        aux_pad.append(ap)
+
+    # level-0 rows: row t covers entries t*127 .. t*127+127 (overlap 1)
+    starts = np.arange(t0) * STRIDE
+    win = starts[:, None] + np.arange(TILE)[None, :]  # (T0, 128)
+    c_hi = c_pad[:, win].astype(np.float32)  # (S, T0, 128)
+    with np.errstate(invalid="ignore"):
+        c_lo = np.where(
+            np.isfinite(c_pad[:, win]),
+            c_pad[:, win] - c_hi.astype(np.float64),
+            0.0,
+        ).astype(np.float32)
+    blocks = [c_hi, c_lo, np.broadcast_to(nu_pad[win], c_hi.shape)]
+    for ap in aux_pad:
+        blocks.append(np.broadcast_to(ap[win], c_hi.shape))
+    lvl0 = np.concatenate(blocks, axis=2).reshape(S * t0, -1)
+
+    # level-1 rows: row u entry k samples line position (u*127 + k)*127
+    tidx = (np.arange(t1 * TILE).reshape(t1, TILE) // TILE * STRIDE
+            + np.arange(TILE)[None, :])
+    # tile index sampled by entry (u, k) is u*127 + k
+    tsam = (np.arange(t1)[:, None] * STRIDE + np.arange(TILE)[None, :])
+    psam = np.minimum(tsam * STRIDE, n_pos - 1)  # line positions
+    valid1 = tsam * STRIDE < n_pos
+    c1 = c_pad[:, psam].astype(np.float32)  # (S, T1, 128)
+    c1[:, ~valid1] = np.inf
+    nu1 = nu_pad[psam]
+    nu1[~valid1] = -np.inf
+    lvl1 = np.concatenate(
+        [c1, np.broadcast_to(nu1, c1.shape)], axis=2
+    ).reshape(S * t1, 2 * TILE)
+
+    # level-2: entry w samples line position w*127*127
+    p2s = np.minimum(np.arange(TILE) * STRIDE * STRIDE, n_pos - 1)
+    valid2 = np.arange(TILE) * STRIDE * STRIDE < n_pos
+    c2 = c_pad[:, p2s].astype(np.float32)
+    c2[:, ~valid2] = np.inf
+    nu2 = nu_pad[p2s].copy()
+    nu2[~valid2] = -np.inf
+    lvl2 = np.concatenate(
+        [c2, np.broadcast_to(nu2, c2.shape)], axis=1
+    )
+
+    return PackedPredTables(
+        lvl0=jnp.asarray(lvl0),
+        lvl1=jnp.asarray(lvl1),
+        lvl2=jnp.asarray(lvl2),
+        t0=t0,
+        t1=t1,
+        n_aux=len(aux_pad),
+    )
+
+
+def predicate_search_packed(
+    pt: PackedPredTables,
+    shell,  # (B,) i32
+    lo_dom,  # (B,) i32 inclusive domain start (next_line)
+    n_lines,  # python int
+    c0_hi,  # (B,) f32 C[shell, lo_dom]
+    c0_lo,
+    chi,  # (B,)
+    z,  # (B,) mu*r
+    nu_lab,  # (B,)
+    tau_event,  # (B,)
+    nu_thresh,  # (B,)
+    full_relativity: bool = False,
+    p2=None,
+):
+    """Fused event/boundary search with in-row value extraction.
+
+    Same predicate as predicate_search (first line i >= lo_dom with
+    nu_i <= nu_thresh or g(i) > tau_event), but returns
+    (i_event, nu_ev, cev_hi, cev_lo, aux_ev) in TWO row gathers total:
+    nu_ev / aux are the per-line values AT i_event and (cev_hi, cev_lo)
+    the exact two-float C[shell, i_event] (the exclusive prefix used by
+    the caller's tau_at), all extracted from the level-0 row.
+    """
+    ar = jnp.arange(TILE, dtype=I32)
+
+    def s_of_nu(nu_row):
+        if full_relativity:
+            a = nu_row * nu_row
+            b = (nu_lab * nu_lab)[:, None]
+            disc = jnp.maximum(a * (a - (a + b) * p2[:, None]), 0.0)
+            y = (b - jnp.sqrt(disc)) / (a + b)
+            return jnp.maximum(y - z[:, None], 0.0)
+        zeta = 1.0 - nu_row / nu_lab[:, None]
+        return jnp.maximum(zeta - z[:, None], 0.0)
+
+    def count_false(c_row, nu_row, idx, exact_lo=None):
+        dC = c_row - c0_hi[:, None]
+        if exact_lo is not None:
+            dC = dC + (exact_lo - c0_lo[:, None])
+        g = dC + chi[:, None] * s_of_nu(nu_row)
+        in_dom = idx >= lo_dom[:, None]
+        fire = (nu_row <= nu_thresh[:, None]) | (g > tau_event[:, None])
+        p = in_dom & fire
+        return jnp.sum(jnp.logical_not(p), axis=1).astype(I32)
+
+    T0, T1 = pt.t0, pt.t1
+
+    # level 2 (one small (B,256) gather by shell)
+    row2 = pt.lvl2[shell]
+    idx2 = (ar * (STRIDE * STRIDE))[None, :]
+    w = jnp.clip(
+        count_false(row2[:, :TILE], row2[:, TILE:], idx2) - 1, 0, T1 - 1
+    )
+
+    # level 1
+    row1 = pt.lvl1[shell * T1 + w]
+    idx1 = (w[:, None] * STRIDE + ar[None, :]) * STRIDE
+    t = jnp.clip(
+        w * STRIDE + count_false(row1[:, :TILE], row1[:, TILE:], idx1) - 1,
+        0,
+        T0 - 1,
+    )
+
+    # level 0 (exact two-float) - ONE wide gather
+    row0 = pt.lvl0[shell * T0 + t]
+    chh = row0[:, :TILE]
+    cll = row0[:, TILE : 2 * TILE]
+    nuu = row0[:, 2 * TILE : 3 * TILE]
+    idx0 = t[:, None] * STRIDE + ar[None, :]
+    c0f = count_false(chh, nuu, idx0, exact_lo=cll)
+
+    # extraction: value channels AT entry c0f (clamped to the row);
+    # the exclusive prefix C[i_event] sits at entry c0f-1 (which holds
+    # C[(i_event-1)+1]); at c0f == 0 the event is at the domain start so
+    # C[i_event] == C[lo_dom] == c0 (or a coarse-level near-tie, where the
+    # O(1)-line drift is accepted as documented)
+    c0f_v = jnp.clip(c0f, 0, TILE - 1)
+    sel_v = (ar[None, :] == c0f_v[:, None])
+    sel_c = (ar[None, :] == jnp.maximum(c0f_v - 1, 0)[:, None])
+    # where-selects, not mask multiplies: padding entries hold +/-inf and
+    # inf * 0 would poison the reduction with NaN
+    nu_ev = jnp.sum(jnp.where(sel_v, nuu, 0.0), axis=1)
+    nu_ev = jnp.where(
+        jnp.sum(jnp.where(sel_v, jnp.isfinite(nuu), False), axis=1),
+        nu_ev,
+        -jnp.inf,
+    )
+    at_start = c0f <= 0
+    cev_hi = jnp.where(
+        at_start, c0_hi, jnp.sum(jnp.where(sel_c, chh, 0.0), axis=1)
+    )
+    cev_lo = jnp.where(
+        at_start, c0_lo, jnp.sum(jnp.where(sel_c, cll, 0.0), axis=1)
+    )
+    cev_inf = jnp.sum(jnp.where(sel_c, ~jnp.isfinite(chh), False), axis=1)
+    cev_hi = jnp.where(~at_start & (cev_inf > 0), jnp.inf, cev_hi)
+    aux_ev = []
+    for a in range(pt.n_aux):
+        blk = row0[:, (3 + a) * TILE : (4 + a) * TILE]
+        aux_ev.append(jnp.sum(jnp.where(sel_v, blk, 0.0), axis=1))
+
+    i_event = jnp.clip(t * STRIDE + c0f_v, lo_dom, n_lines)
+    return i_event, nu_ev, cev_hi, cev_lo, aux_ev

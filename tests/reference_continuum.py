@@ -10,7 +10,7 @@ through the absorbing-Markov macro atom) as a direct sequential event loop:
 - continuum estimators accumulated per event per ACTIVE continuum (the
   reference's update_estimators_bound_free) — validating the kernel's
   frequency-grid moment redesign;
-- shares ONLY the RNG contract with the kernel (same fold_in tags).
+- shares ONLY the RNG contract with the kernel (same uniform-matrix columns).
 """
 
 from __future__ import annotations
@@ -115,7 +115,7 @@ def propagate_packet_iip(
             ff_heat)
 
     draws = _UniformCache(
-        base_key, pid, tags=(0, 1, 2, 3, 4, 6, 7, 50, 51)
+        base_key, pid, tags=(0, 1, 2, 3, 4, 6, 7, 8, 9)
     )
     beta_inner = T.r_inner[0]
     gamma_in = 1.0 / np.sqrt(1.0 - beta_inner * beta_inner)
@@ -279,7 +279,7 @@ def propagate_packet_iip(
             nu_cmf_em = T.line_nu[chan]
             next_line = chan + 1
         elif kind == 1:  # free-bound emission
-            zr = draws(event_idx, 50)
+            zr = draws(event_idx, 8)
             a, b = T.refs[chan], T.refs[chan + 1]
             blk = T.fb_cdf[a:b, shell]
             idx = int(np.searchsorted(blk, zr, side="left"))
@@ -290,7 +290,7 @@ def propagate_packet_iip(
             nu_cmf_em = nu_i - frac * (nu_i - nu_im)
             next_line = int(np.sum(T.line_nu >= nu_cmf_em))
         else:  # free-free emission
-            u_ff = draws(event_idx, 51)
+            u_ff = draws(event_idx, 9)
             nu_cmf_em = -np.log(u_ff) / T.boltz_coef[shell]
             next_line = int(np.sum(T.line_nu >= nu_cmf_em))
 

@@ -3,8 +3,8 @@
 This is the analogue of the reference suite's NUMBA_DISABLE_JIT pure-Python
 mode (SURVEY.md §4): a sequential, direct per-line event loop in float64 used
 to validate the batched binary-search kernel.  It shares ONLY the RNG contract
-with the kernel — every draw comes from
-uniform(fold_in(fold_in(fold_in(base_key, pid), event_idx), tag)) — so
+with the kernel — each event's draws are the columns of
+uniform(fold_in(fold_in(base_key, pid), event_idx), (N_RNG_COLS,)) — so
 per-packet trajectories are comparable event by event.
 """
 
@@ -20,21 +20,21 @@ _CHUNK = 512
 
 
 def _draw_chunk(base_key, pid, start, tags=(0, 1)):
-    """Vectorized draw of uniforms for events [start, start+_CHUNK)."""
+    """Vectorized draw of uniforms for events [start, start+_CHUNK).
+
+    ``tags`` are COLUMN indices of the kernel's per-event uniform matrix
+    (kernel.N_RNG_COLS columns from one threefry pass)."""
+    from tardis_tpu.transport.kernel import N_RNG_COLS
+
+    cols = jax.numpy.asarray(tags)
 
     def one(eidx):
         k = jax.random.fold_in(
             jax.random.fold_in(base_key, np.uint32(pid)), eidx
         )
-        return jax.numpy.stack(
-            [
-                jax.random.uniform(
-                    jax.random.fold_in(k, t), (), jax.numpy.float32,
-                    minval=1e-9, maxval=1.0,
-                )
-                for t in tags
-            ]
-        )
+        return jax.random.uniform(
+            k, (N_RNG_COLS,), jax.numpy.float32, minval=1e-9, maxval=1.0
+        )[cols]
 
     eidx = jax.numpy.arange(start, start + _CHUNK, dtype=jax.numpy.uint32)
     return np.asarray(jax.vmap(one)(eidx), dtype=np.float64)

@@ -70,28 +70,35 @@ def test_chain_matches_analytic_distribution(problem):
         mode="macroatom",
     )
     S = ps.beta_sobolev.shape[1]
-    M, W = mc.n_states, mc.chain_tile_w
-    ct = mc.chain_tiles.reshape(S, M, W * 128)[:, :, :M].astype(np.float64)
+    M = mc.n_states
+    E = mc.emit_total
     # pick an activated level with internal structure
     level = int(macro.line2macro_level_upper[len(macro.line2macro_level_upper) // 2])
     shell = 3
-    B_row = np.diff(np.concatenate([[0.0], ct[shell, level]]))
+    # absorbing-state distribution implied by the alias rows:
+    # P(j) = (prob[k=j] + sum_{k: alias_k = j} (1 - prob_k)) / M
+    ca = mc.chain_alias.reshape(S, M, M, 2).astype(np.float64)
+    prob_row = ca[shell, level, :, 0]
+    alias_row = ca[shell, level, :, 1].astype(np.int64)
+    B_row = prob_row.copy()
+    np.add.at(B_row, alias_row, 1.0 - prob_row)
+    B_row /= M
 
-    # emission distribution implied by the tables
+    # emission distribution implied by the emission alias rows
     es = mc.emit_block_start
-    Et = mc.emit_tiles_total
-    et = mc.emit_tiles.reshape(S, Et * 128)
+    ea = mc.emit_alias.reshape(S, E, 3).astype(np.float64)
     L = atom.n_lines
     dist_tables = np.zeros(L)
     for j in range(M):
         if B_row[j] <= 0:
             continue
         e0, e1 = es[j], es[j + 1]
-        t0 = mc.emit_tile_start[j]
-        cum = et[shell, t0 * 128 : t0 * 128 + (e1 - e0)].astype(np.float64)
-        probs = np.diff(np.concatenate([[0.0], cum]))
-        lines = mc.emit_line[e0:e1]
-        np.add.at(dist_tables, lines, B_row[j] * probs)
+        n = e1 - e0
+        blk = ea[shell, e0:e1]
+        np.add.at(dist_tables, blk[:, 1].astype(np.int64),
+                  B_row[j] * blk[:, 0] / n)
+        np.add.at(dist_tables, blk[:, 2].astype(np.int64),
+                  B_row[j] * (1.0 - blk[:, 0]) / n)
     dist_tables /= dist_tables.sum()
 
     dist_exact = _brute_force_emission_dist(macro, p_norm, level, shell)
@@ -157,7 +164,7 @@ def test_chain_downbranch_mode(problem):
         ps.stimulated_emission_factor,
         mode="downbranch",
     )
-    assert mchain.chain_tiles is None and mchain.chain_tile_w == 0
+    assert mchain.chain_alias is None
     N = 5000
     key = jax.random.key(np.uint32(9))
     pool_mu, pool_nu = sample_blackbody_packets(
