@@ -105,7 +105,12 @@ class TransportSolver:
         inner_boundary_albedo: float = 0.0,
         use_macro_chain: bool | str = "auto",
         packet_source: str = "auto",
+        mesh: object | str = "auto",
     ):
+        # device mesh for packet-parallel transport: "auto" shards over all
+        # local devices when more than one is visible (the PRODUCTION
+        # multi-chip path, parallel/transport.py); None forces single-device
+        self.mesh = mesh
         # packet source selection (reference
         # parse_packet_source_configuration.py:49-77: relativistic source
         # iff enable_full_relativity; "weighted" additionally exposed)
@@ -239,17 +244,45 @@ class TransportSolver:
             )
 
         batch = min(self.batch_size, n_packets)
-        carry = run_transport(
-            tables,
-            static,
-            pool_mu,
-            pool_nu_cmf,
-            run_key,
-            n_packets=n_packets,
-            batch_size=batch,
-            tail_batch=min(2048, batch // 4) if batch >= 8192 else 0,
-            pool_w=pool_w,
-        )
+        tail = min(2048, batch // 4) if batch >= 8192 else 0
+        mesh = self.mesh
+        if mesh == "auto":
+            mesh = None
+            if len(jax.devices()) > 1:
+                from tardis_tpu.parallel.transport import packet_mesh
+
+                mesh = packet_mesh()
+        if mesh is not None and mesh.devices.size > 1 and (
+            n_packets % mesh.devices.size == 0
+        ):
+            from tardis_tpu.parallel.transport import run_transport_sharded
+
+            carry = run_transport_sharded(
+                tables,
+                static,
+                pool_mu,
+                pool_nu_cmf,
+                run_key,
+                n_packets=n_packets,
+                batch_size=max(batch // mesh.devices.size, 32),
+                mesh=mesh,
+                tail_batch=(
+                    max(tail // mesh.devices.size, 64) if tail else 0
+                ),
+                pool_w=pool_w,
+            )
+        else:
+            carry = run_transport(
+                tables,
+                static,
+                pool_mu,
+                pool_nu_cmf,
+                run_key,
+                n_packets=n_packets,
+                batch_size=batch,
+                tail_batch=tail,
+                pool_w=pool_w,
+            )
 
         virt_hist = None
         virt_edges = None
