@@ -33,6 +33,7 @@ BENCH_ARGS = [
     "--levels", "200",
     "--jump", "60",
     "--mode", "macroatom",
+    "--chunk", "2097152",
 ]
 CPU_BENCH_ARGS = [
     "--packets", "50000",
@@ -40,6 +41,7 @@ CPU_BENCH_ARGS = [
     "--levels", "200",
     "--jump", "60",
     "--mode", "macroatom",
+    "--platform", "cpu",
 ]
 
 
@@ -64,8 +66,14 @@ def main():
     tpu = _run(os.environ.get("JAX_PLATFORMS", "axon"), BENCH_ARGS)
     try:
         cpu = _run("cpu", CPU_BENCH_ARGS)
-    except Exception:
-        cpu = None
+    except Exception as exc:
+        cpu = {"error": str(exc)[-500:]}
+    # integrity check (round-2 verdict): the anchor MUST have run on the
+    # host CPU — a mislabeled control is worse than no control
+    if cpu is not None and "platform" in cpu and cpu["platform"] != "cpu":
+        raise SystemExit(
+            f"CPU anchor ran on {cpu['platform']!r}; refusing to publish"
+        )
     vs = tpu["packets_per_s"] / REFERENCE_NUMBA_PACKETS_PER_S
     print(
         json.dumps(

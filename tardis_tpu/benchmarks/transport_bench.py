@@ -153,8 +153,21 @@ def main():
     ap.add_argument("--jump", type=int, default=80)
     ap.add_argument("--mode", default="scatter")
     ap.add_argument("--repeats", type=int, default=2)
-    ap.add_argument("--chunk", type=int, default=524288)
+    ap.add_argument("--chunk", type=int, default=2097152)
+    ap.add_argument(
+        "--platform", default=None,
+        help="force the jax platform (e.g. 'cpu'); FAILS if the resulting "
+        "backend does not match (the axon stack ignores JAX_PLATFORMS, so "
+        "the override must go through jax.config before backend init)",
+    )
     args = ap.parse_args()
+    if args.platform:
+        import os
+
+        os.environ["JAX_PLATFORMS"] = args.platform
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     out = bench_transport(
         n_packets=args.packets,
         batch_size=args.batch,
@@ -164,6 +177,11 @@ def main():
         repeats=args.repeats,
         chunk_size=args.chunk,
     )
+    if args.platform and out["platform"] != args.platform:
+        raise SystemExit(
+            f"requested platform {args.platform!r} but ran on "
+            f"{out['platform']!r} — refusing to report a mislabeled anchor"
+        )
     print(json.dumps(out))
 
 
