@@ -56,17 +56,32 @@ def run_scaling(per_device=8192, device_counts=(1, 2, 4, 8), mode="scatter",
                 jax.random.fold_in(key, 1),
                 n_packets=n_packets,
                 batch_size=min(per_device, 16384),
+                tail_batch=min(256, per_device // 8),
                 mesh=mesh,
             )
             jax.block_until_ready(carry.est_j)
             times.append(time.time() - t0)
         best = min(times[1:])  # skip compile
+        # isolated estimator all-reduce cost (the big (L+1)*S*2 line array):
+        # in production this collective is PIPELINED into the next chunk's
+        # program (parallel/transport.py), so its standalone cost bounds the
+        # non-overlapped worst case
+        from tardis_tpu.parallel.transport import _est_tuple, _final_psum
+
+        pend = _est_tuple(carry, static)
+        red_times = []
+        for _ in range(repeats + 1):
+            t0 = time.time()
+            out = _final_psum(pend, mesh)
+            jax.block_until_ready(out)
+            red_times.append(time.time() - t0)
         results.append(
             {
                 "devices": n_dev,
                 "n_packets": n_packets,
                 "time_s": best,
                 "packets_per_s": n_packets / best,
+                "est_reduce_s": min(red_times[1:]),
             }
         )
     base = results[0]["packets_per_s"] / results[0]["devices"]
