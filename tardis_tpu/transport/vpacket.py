@@ -45,9 +45,19 @@ def _trace_tau(tables, static, r0, mu, shell0, next_line, nu_lab):
     z = projection along the ray; increases monotonically; in homologous
     flow lines are crossed in index order, so we carry the line cursor and
     pay one binary search per shell segment.
+
+    Full relativity (static.enable_full_relativity): the line-resonance
+    threshold gains the local Lorentz factor (nu_cmf = nu_lab (1-z) gamma,
+    matching the relativistic calculate_distance_line of the reference
+    trace_vpacket_within_shell, virtual_packet.py:152-161) and the
+    continuum opacity is scaled by the Doppler factor at the segment start
+    (reference virtual_packet.py:133-135: ``chi_continuum *=
+    doppler_factor``).  In kernel units beta(r) = r and mu_loc*beta_loc =
+    z, so the local Doppler factor is (1-z)/sqrt(1-r^2).
     """
     S = static.n_shells
     LP1 = static.n_lines + 1
+    full_rel = static.enable_full_relativity
     tau_hi_flat = tables.tau_cum_hi.reshape(-1)
     tau_lo_flat = tables.tau_cum_lo.reshape(-1)
     p2 = jnp.maximum(r0 * r0 * (1.0 - mu * mu), 0.0)  # impact param^2
@@ -60,6 +70,9 @@ def _trace_tau(tables, static, r0, mu, shell0, next_line, nu_lab):
         return searchsorted_unrolled(
             tables.neg_line_nu, -nu_thresh, side="left"
         )
+
+    def gamma_at(r_shell):
+        return 1.0 / jnp.sqrt(jnp.maximum(1.0 - r_shell * r_shell, 1e-12))
 
     # a ray crosses at most 2S shell segments (inward then outward);
     # lockstep while_loop over segments with per-lane masking (a while_loop
@@ -75,8 +88,12 @@ def _trace_tau(tables, static, r0, mu, shell0, next_line, nu_lab):
         reaches_inner = heading_in & (p2 < r_in * r_in)
         z_next = jnp.where(reaches_inner, -zb(r_in), zb(r_out))
         delta = jnp.where(reaches_inner, -1, 1)
-        # lines crossed in (z, z_next]: nu_i > nu_lab * (1 - z_next)
-        i_next = jnp.maximum(count_gt(nu_lab * (1.0 - z_next)), i_cur)
+        # lines crossed in (z, z_next]: nu_i > nu_cmf(z_next)
+        nu_cmf_next = nu_lab * (1.0 - z_next)
+        if full_rel:
+            r_next = jnp.where(reaches_inner, r_in, r_out)
+            nu_cmf_next = nu_cmf_next * gamma_at(r_next)
+        i_next = jnp.maximum(count_gt(nu_cmf_next), i_cur)
         row0 = shell_c * LP1
         d_tau_line = df32_diff(
             tau_hi_flat[row0 + i_next],
@@ -84,9 +101,11 @@ def _trace_tau(tables, static, r0, mu, shell0, next_line, nu_lab):
             tau_hi_flat[row0 + i_cur],
             tau_lo_flat[row0 + i_cur],
         )
-        d_tau = d_tau_line + tables.chi_e[shell_c] * jnp.maximum(
-            z_next - z, 0.0
-        )
+        chi_e = tables.chi_e[shell_c]
+        if full_rel:
+            r_here = jnp.sqrt(p2 + z * z)
+            chi_e = chi_e * (1.0 - z) * gamma_at(r_here)
+        d_tau = d_tau_line + chi_e * jnp.maximum(z_next - z, 0.0)
         tau = tau + jnp.where(active, d_tau, 0.0)
         z = jnp.where(active, z_next, z)
         i_cur = jnp.where(active, i_next, i_cur)
@@ -130,6 +149,7 @@ def trace_vpacket_records(
     total_vp_energy) in kernel units (energy x packet-units).
     """
     beta_inner = tables.r_inner[0]
+    full_rel = static.enable_full_relativity
     valid = (vp_energy > 0.0) & (vp_nu >= spawn_nu_min) & (
         vp_nu <= spawn_nu_max
     )
@@ -141,14 +161,42 @@ def trace_vpacket_records(
     mu_min = jnp.where(
         on_inner, 0.0, -jnp.sqrt(jnp.maximum(1.0 - r_ratio**2, 0.0))
     )
+    if full_rel:
+        # aberrate the limb direction LF -> CMF (reference
+        # trace_vpacket_volley, virtual_packet.py:289-293); beta(r) = r in
+        # kernel units.  On the inner boundary mu_min stays 0 (CMF).
+        mu_min = jnp.where(
+            on_inner, 0.0, (mu_min - vp_r) / (1.0 - vp_r * mu_min)
+        )
+    # stratified directions: sampled in the CMF under full relativity,
+    # in the LF otherwise (matching the reference's sampling frame)
     mu_vp = mu_min[None, :] + frac * (1.0 - mu_min)[None, :]  # (V, R)
-    weight = jnp.where(
-        on_inner[None, :],
-        2.0 * mu_vp / n_vpackets,
-        ((1.0 - mu_min) / (2.0 * n_vpackets))[None, :],
-    )
-    dop_rp = (1.0 - vp_mu * vp_r)[None, :]
-    dop_vp = 1.0 - mu_vp * vp_r[None, :]
+    if full_rel:
+        # K&S 2014 relativistic inner-boundary weight (reference
+        # virtual_packet.py:316-323): 2(mu + beta)/(2 beta + 1)/n with the
+        # CMF mu, before the CMF -> LF aberration
+        weight = jnp.where(
+            on_inner[None, :],
+            2.0
+            * (mu_vp + beta_inner)
+            / ((2.0 * beta_inner + 1.0) * n_vpackets),
+            ((1.0 - mu_min) / (2.0 * n_vpackets))[None, :],
+        )
+        # aberration CMF -> LF (reference angle_aberration_CMF_to_LF)
+        mu_vp = (mu_vp + vp_r[None, :]) / (1.0 + vp_r[None, :] * mu_vp)
+        gamma_r = 1.0 / jnp.sqrt(
+            jnp.maximum(1.0 - vp_r * vp_r, 1e-12)
+        )[None, :]
+        dop_rp = (1.0 - vp_mu * vp_r)[None, :] * gamma_r
+        dop_vp = (1.0 - mu_vp * vp_r[None, :]) * gamma_r
+    else:
+        weight = jnp.where(
+            on_inner[None, :],
+            2.0 * mu_vp / n_vpackets,
+            ((1.0 - mu_min) / (2.0 * n_vpackets))[None, :],
+        )
+        dop_rp = (1.0 - vp_mu * vp_r)[None, :]
+        dop_vp = 1.0 - mu_vp * vp_r[None, :]
     ratio = dop_rp / dop_vp
     nu_vp = vp_nu[None, :] * ratio
     e_vp = vp_energy[None, :] * weight * ratio
