@@ -106,6 +106,28 @@ class CollisionData:
 
 
 @dataclass
+class TwoPhotonData:
+    """Two-photon decay transitions (e.g. H I 2s -> 1s).
+
+    Counterpart of the reference's ``atomic_data.two_photon_data`` DataFrame
+    (/root/reference/tardis/io/atom_data/base.py:97-104: index
+    (atomic_number, ion_number, level_number_lower, level_number_upper),
+    columns A_ul [1/s], nu0 [Hz], alpha, beta, gamma — Nussbaumer & Schmutz
+    1984 fit coefficients for the frequency-dependent decay rate A(y)).
+    """
+
+    z: np.ndarray  # (T,) int
+    ion: np.ndarray  # (T,) int
+    level_lower: np.ndarray  # (T,) int
+    level_upper: np.ndarray  # (T,) int
+    A_ul: np.ndarray  # (T,) float 1/s
+    nu0: np.ndarray  # (T,) float Hz
+    alpha: np.ndarray  # (T,) float
+    beta: np.ndarray  # (T,) float
+    gamma: np.ndarray  # (T,) float
+
+
+@dataclass
 class PhotoIonizationData:
     """Tabulated photoionization cross-sections (bound-free continua).
 
@@ -186,6 +208,9 @@ class AtomData:
     # collision_data table; NLTE then falls back to van Regemorter)
     collision: CollisionData | None = None
 
+    # two-photon decay transitions (None when the dataset has none)
+    two_photon: TwoPhotonData | None = None
+
     # filled by prepare()
     species_z: np.ndarray | None = None  # (S,) unique species (Z, ion)
     species_ion: np.ndarray | None = None
@@ -260,6 +285,20 @@ class AtomData:
                 yg=co.yg[keepc],
             )
 
+        two_photon = None
+        if self.two_photon is not None:
+            tp = self.two_photon
+            keept = np.isin(tp.z, wanted)
+            if keept.any():
+                two_photon = TwoPhotonData(
+                    z=tp.z[keept], ion=tp.ion[keept],
+                    level_lower=tp.level_lower[keept],
+                    level_upper=tp.level_upper[keept],
+                    A_ul=tp.A_ul[keept], nu0=tp.nu0[keept],
+                    alpha=tp.alpha[keept], beta=tp.beta[keept],
+                    gamma=tp.gamma[keept],
+                )
+
         return AtomData(
             atomic_numbers=self.atomic_numbers[emask],
             masses=self.masses[emask],
@@ -285,6 +324,7 @@ class AtomData:
             meta=dict(self.meta),
             photo_ion=photo_ion,
             collision=collision,
+            two_photon=two_photon,
             zeta_data=self.zeta_data,
         )
 

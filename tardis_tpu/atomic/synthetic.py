@@ -182,6 +182,37 @@ def make_synthetic_atom_data(
         for j in range(1, min(int(z), max_ion_stage) + 1):
             zeta_data[(int(z), j)] = (zeta_t, np.ones_like(zeta_t))
 
+    # two-photon decay data for continuum species (analogue of the
+    # reference two_photon_data table, io/atom_data/base.py:97-104): one
+    # 2s-like -> ground transition per species with the H I 2s->1s
+    # Nussbaumer & Schmutz (1984) spectral-fit coefficients and total rate
+    two_photon = None
+    if continuum_species:
+        tp_rows = []
+        for z, ion in continuum_species:
+            if (z, ion, 1) in flat and (z, ion, 0) in flat:
+                e_lo = lene[flat[(z, ion, 0)]]
+                e_up = lene[flat[(z, ion, 1)]]
+                nu0 = (e_up - e_lo) / H
+                if nu0 > 0:
+                    # A_2ph(H I 2s) = 8.2249 1/s; hydrogenic Z^6 scaling
+                    tp_rows.append(
+                        (z, ion, 0, 1, 8.2249 * (ion + 1) ** 6, nu0,
+                         0.88, 1.53, 0.8)
+                    )
+        if tp_rows:
+            from tardis_tpu.atomic.atom_data import TwoPhotonData
+
+            arr = np.asarray(tp_rows, dtype=np.float64)
+            two_photon = TwoPhotonData(
+                z=arr[:, 0].astype(np.int64),
+                ion=arr[:, 1].astype(np.int64),
+                level_lower=arr[:, 2].astype(np.int64),
+                level_upper=arr[:, 3].astype(np.int64),
+                A_ul=arr[:, 4], nu0=arr[:, 5],
+                alpha=arr[:, 6], beta=arr[:, 7], gamma=arr[:, 8],
+            )
+
     return AtomData(
         atomic_numbers=zs,
         masses=np.array([ATOMIC_MASSES[z - 1] for z in zs]) * M_U,
@@ -203,5 +234,6 @@ def make_synthetic_atom_data(
         meta={"source": "synthetic", "seed": seed},
         photo_ion=photo_ion,
         collision=collision,
+        two_photon=two_photon,
         zeta_data=zeta_data,
     )

@@ -63,17 +63,16 @@ def run_scaling(per_device=8192, device_counts=(1, 2, 4, 8), mode="scatter",
             times.append(time.time() - t0)
         best = min(times[1:])  # skip compile
         # isolated estimator all-reduce cost (the big (L+1)*S*2 line array):
-        # in production this collective is PIPELINED into the next chunk's
-        # program (parallel/transport.py), so its standalone cost bounds the
-        # non-overlapped worst case
-        from tardis_tpu.parallel.transport import _est_tuple, _final_psum
+        # in production this collective runs ONCE after the final chunk
+        # (parallel/transport.py _final_reduce), so its standalone cost is
+        # the total reduce overhead of a whole-iteration run
+        from tardis_tpu.parallel.transport import _final_reduce
 
-        pend = _est_tuple(carry, static)
         red_times = []
         for _ in range(repeats + 1):
             t0 = time.time()
-            out = _final_psum(pend, mesh)
-            jax.block_until_ready(out)
+            out = _final_reduce(carry, mesh, static)
+            jax.block_until_ready(out.est_j)
             red_times.append(time.time() - t0)
         results.append(
             {

@@ -43,6 +43,7 @@ C_EINSTEIN = float(4.0 * (np.pi * E_CHARGE) ** 2 / (C * M_E))
 EMIT_LINE = 0
 EMIT_BF = 1
 EMIT_FF = 2
+EMIT_TWO_PHOTON = 3  # reference MacroAtomTransitionType.TWO_PHOTON (-6)
 
 
 @dataclass
@@ -61,6 +62,29 @@ class ContinuumMacroState:
     line2state: np.ndarray  # (L,) i32 state activated by line absorption
     photo_ion_state: np.ndarray  # (C,) i32 i-packet state per continuum
     k_state: int
+    # number of active two-photon deactivation channels (0 = disabled)
+    n_two_photon: int = 0
+
+
+def two_photon_inv_cdf(alpha, beta, gamma, n=256, n_grid=8192):
+    """Inverse CDF of the energy-weighted two-photon spectral distribution.
+
+    Nussbaumer & Schmutz (1984) Eq. 2 frequency-dependent decay rate over
+    y = nu/nu0 in (0, 1):
+        A(y) ~ y(1-y)[1 - (4y(1-y))^gamma] + alpha (y(1-y))^beta (4y(1-y))^gamma
+    The Monte Carlo samples the EMISSIVITY (energy) distribution y*A(y) —
+    indivisible energy packets conserve energy, so frequency must follow the
+    energy spectrum, not the photon-number spectrum.  Returns (n,) values of
+    y at uniform quantiles i/(n-1); the kernel linearly interpolates.
+    """
+    y = (np.arange(n_grid) + 0.5) / n_grid
+    x = y * (1.0 - y)
+    A = x * (1.0 - (4.0 * x) ** gamma) + alpha * x**beta * (4.0 * x) ** gamma
+    w = np.clip(y * A, 0.0, None)
+    cdf = np.cumsum(w)
+    cdf /= cdf[-1]
+    q = np.arange(n) / (n - 1.0)
+    return np.interp(q, cdf, y)
 
 
 def _state_space(atom: AtomData):
@@ -103,8 +127,19 @@ def solve_continuum_macro_state(
     plasma_state,
     cont_state,
     j_blues: np.ndarray,  # (L, S)
+    enable_two_photon: bool = False,
 ) -> ContinuumMacroState:
-    """Assemble all channels, normalize per state, solve the absorbing chain."""
+    """Assemble all channels, normalize per state, solve the absorbing chain.
+
+    With ``enable_two_photon`` and two-photon data present, each two-photon
+    transition whose upper level is a macro state gains a deactivation
+    channel with probability A_2ph * h nu0 (rate x emitted energy, the Lucy
+    convention shared by the other channels).  The reference defines the
+    channel plumbing (transition_probabilities.py:343-359,
+    MacroAtomTransitionType.TWO_PHOTON) but never feeds it — this completes
+    the physics and the kernel samples the Nussbaumer & Schmutz (1984)
+    spectral distribution at emission.
+    """
     macro = atom.macro_atom
     pi = atom.photo_ion
     S = plasma_state.tau_sobolev.shape[1]
@@ -196,6 +231,27 @@ def solve_continuum_macro_state(
         # de-excitation to k-packet, weight dE
         add(up_state, k_state, cont_state.coll_deexc_coeff * ne_row
             * de[:, None])
+
+    # ---------------- two-photon decay deactivation (upper -> ground via
+    # the two-photon continuum); probability = A_2ph * h nu0
+    n_two_photon = 0
+    if enable_two_photon and atom.two_photon is not None:
+        tp = atom.two_photon
+        key = {
+            (int(z), int(i), int(k)): f
+            for f, (z, i, k) in enumerate(
+                zip(atom.level_z, atom.level_ion, atom.level_number)
+            )
+        }
+        for t in range(len(tp.z)):
+            fu = key.get((int(tp.z[t]), int(tp.ion[t]),
+                          int(tp.level_upper[t])))
+            if fu is None or state_of_flat[fu] < 0:
+                continue
+            p_tp = np.full((1, S), tp.A_ul[t] * H * tp.nu0[t])
+            add(int(state_of_flat[fu]), -1, p_tp,
+                kind=EMIT_TWO_PHOTON, id_=t)
+            n_two_photon += 1
 
     # ---------------- k-packet cooling block
     add(k_state, -1, cont_state.ff_cool_rate[None, :].repeat(1, axis=0),
@@ -310,4 +366,5 @@ def solve_continuum_macro_state(
         line2state=line2state,
         photo_ion_state=i_states.astype(np.int32),
         k_state=int(k_state),
+        n_two_photon=n_two_photon,
     )

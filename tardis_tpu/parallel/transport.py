@@ -14,24 +14,25 @@ montecarlo_transport.py:315 and its per-thread estimator lists reduced with
 - packet output arrays stay device-local (sharded) and are only gathered
   lazily on the host for spectra.
 
-Round 3 makes this the PRODUCTION path (TransportSolver picks it whenever
-the mesh has more than one device) with full feature parity with
-kernel.run_transport:
+This is the PRODUCTION path (TransportSolver picks it whenever the mesh has
+more than one device) with full feature parity with kernel.run_transport:
 
-- **watchdog chunking**: pools larger than ``chunk_size`` run as a host-side
-  loop of sharded chunk programs with global pid offsets (each chunk bounds
+- **watchdog chunking with lane continuity**: pools larger than
+  ``chunk_size`` run as a host loop of sharded chunk programs threading ONE
+  per-device carry; each non-final chunk's per-device loop exits the moment
+  its pool slice is exhausted (transport_loop drain=False) with all
+  in-flight lanes alive, so chunk boundaries cost zero occupancy and the
+  event schedule is nearly identical to one giant pool (each chunk still bounds
   per-launch wall time below the TPU worker watchdog; see
-  kernel.run_transport's root-cause note) — bitwise identical to one pass;
-- **on-device tail repack**: the wide per-device loop exits once at most
+  kernel.run_transport's root-cause note);
+- **on-device tail repack**: the final chunk's wide loop exits once at most
   ``tail_batch`` lanes survive; survivors are compacted to the front with a
   stable argsort ON DEVICE (no host round-trip, unlike the single-device
   path) and finished in a narrow loop;
 - **per-packet weights** (``pool_w``) for weighted/relativistic sources;
-- **estimator-reduce overlap**: each chunk program also psums the PREVIOUS
-  chunk's estimator partials; XLA schedules that all-reduce concurrently
-  with the new chunk's transport while_loop (async collective over ICI),
-  so the big (L+1)*S*2 line reduction hides behind compute (SURVEY.md §7
-  step 6).
+- estimators accumulate per-device across all chunks and are psum'd ONCE
+  after the final chunk — measured at ~0.1% of chunk compute at 8 devices
+  (SCALING_r03.json), so no further overlap is needed.
 """
 
 from __future__ import annotations
@@ -80,12 +81,6 @@ _SUM_FIELDS = (
     "est_nubar_lo", "n_events",
 )
 _CONT_SUM_FIELDS = ("cont_moments", "est_ff_heat", "cont_lo", "ff_lo")
-
-
-def _est_tuple(carry, static):
-    fields = _SUM_FIELDS + (_CONT_SUM_FIELDS if static.enable_continuum
-                            else ())
-    return tuple(getattr(carry, f) for f in fields)
 
 
 def _est_fields(static):
@@ -150,8 +145,9 @@ def _device_repack(carry, tail_batch):
 @partial(
     jax.jit,
     static_argnames=("static", "n_local", "n_local_total", "batch_local",
-                     "max_steps", "tail_batch", "mesh", "have_pending",
-                     "have_w"),
+                     "max_steps", "tail_batch", "mesh", "have_carry",
+                     "have_w", "drain"),
+    donate_argnames=("carry0",),
 )
 def _sharded_chunk(
     tables,
@@ -159,35 +155,38 @@ def _sharded_chunk(
     pool_mu,
     pool_nu_cmf,
     base_key,
-    chunk_offset,  # i32 scalar: global pid of this chunk's first packet
-    pending,  # tuple of UNREDUCED per-device estimator partials (or ())
+    chunk_offset,  # i32 scalar: this chunk's start within each device slice
+    carry0,  # per-device carry from the previous chunk (or 0 on first call)
     n_local: int,
     n_local_total: int,
     batch_local: int,
     mesh: Mesh,
     max_steps: int,
     tail_batch: int,
-    have_pending: bool,
+    have_carry: bool,
     have_w: bool,
+    drain: bool,
     pool_w=None,
 ):
-    """One sharded chunk + overlapped psum of the previous chunk's partials.
+    """One sharded chunk with lane continuity.
 
-    Returns (carry with UNREDUCED estimators, reduced_pending or ()).
+    Returns a carry whose estimator fields are per-device UNREDUCED
+    partials; reduce once with _final_psum after the last chunk.
     """
 
-    def local_run(tables_l, key_l, off, mu_l, nu_l, w_l, pending_l):
+    def local_run(tables_l, key_l, off, mu_l, nu_l, w_l, carry_l):
         # global packet id of this device's chunk start: the device owns
         # pool segment [d*n_local_total, (d+1)*n_local_total) and the chunk
         # starts `off` packets into it
-        offset = off + lax.axis_index("packets") * n_local_total
-        # the previous chunk's estimator all-reduce — independent of the
-        # transport loop below, so XLA can run it as an async collective
-        # concurrently with the while_loop
-        if have_pending:
-            reduced = tuple(lax.psum(x, "packets") for x in pending_l)
+        dev_base = lax.axis_index("packets") * n_local_total
+        offset = off + dev_base
+        if have_carry:
+            c0 = carry_l._replace(
+                next_unborn=jnp.zeros((), jnp.int32)
+            )
         else:
-            reduced = ()
+            c0 = init_carry(static, batch_local, n_local_total)
+        tb = tail_batch if (drain and 0 < tail_batch < batch_local) else 0
         carry = transport_loop(
             tables_l,
             static,
@@ -198,10 +197,14 @@ def _sharded_chunk(
             batch_size=batch_local,
             max_steps=max_steps,
             pid_offset=offset,
-            tail_threshold=tail_batch if 0 < tail_batch < batch_local else 0,
+            carry0=c0,
+            tail_threshold=tb,
             pool_w=w_l if have_w else None,
+            n_out=n_local_total,
+            out_offset=dev_base,
+            drain=drain,
         )
-        if 0 < tail_batch < batch_local:
+        if tb:
             tail0 = _device_repack(carry, tail_batch)
             carry = transport_loop(
                 tables_l,
@@ -215,38 +218,47 @@ def _sharded_chunk(
                 pid_offset=offset,
                 carry0=tail0,
                 pool_w=w_l if have_w else None,
+                n_out=n_local_total,
+                out_offset=dev_base,
             )
-        n_steps = lax.pmax(carry.n_steps, "packets")
-        vp_count = lax.psum(carry.vp_count, "packets")
-        return (
-            carry._replace(n_steps=n_steps, vp_count=vp_count),
-            reduced,
-        )
+        return carry
 
     spec_repl = jax.tree.map(lambda _: P(), tables)
-    pending_spec = tuple(P() for _ in pending)
     carry_specs = _carry_specs(static)
     f = shard_map(
         local_run,
         mesh=mesh,
         in_specs=(spec_repl, P(), P(), P("packets"), P("packets"),
-                  P("packets") if have_w else P(), pending_spec),
-        out_specs=(carry_specs, pending_spec),
+                  P("packets") if have_w else P(), carry_specs),
+        out_specs=carry_specs,
     )
     w_arg = pool_w if have_w else jnp.zeros_like(pool_mu)[:1]
     return f(tables, base_key, chunk_offset, pool_mu, pool_nu_cmf, w_arg,
-             pending)
+             carry0)
 
 
-@partial(jax.jit, static_argnames=("mesh",))
-def _final_psum(pending, mesh: Mesh):
+@partial(jax.jit, static_argnames=("mesh", "static"))
+def _final_reduce(carry, mesh: Mesh, static):
+    """Psum the per-device estimator partials; pmax steps, psum vp_count."""
+    fields = _est_fields(static)
+
     def red(*xs):
-        return tuple(lax.psum(x, "packets") for x in xs)
+        n_steps, vp_count = xs[-2], xs[-1]
+        return tuple(lax.psum(x, "packets") for x in xs[:-2]) + (
+            lax.pmax(n_steps, "packets"),
+            lax.psum(vp_count, "packets"),
+        )
 
-    specs = tuple(P() for _ in pending)
-    return shard_map(
-        lambda *xs: red(*xs), mesh=mesh, in_specs=specs, out_specs=specs
-    )(*pending)
+    vals = tuple(getattr(carry, f) for f in fields) + (
+        carry.n_steps, carry.vp_count,
+    )
+    specs = tuple(P() for _ in vals)
+    out = shard_map(red, mesh=mesh, in_specs=specs, out_specs=specs)(*vals)
+    return carry._replace(
+        **dict(zip(fields, out[: len(fields)])),
+        n_steps=out[-2],
+        vp_count=out[-1],
+    )
 
 
 def run_transport_sharded(
@@ -265,11 +277,11 @@ def run_transport_sharded(
 ):
     """Run transport with the packet pool sharded over ``mesh``.
 
-    Full-parity production entry point (chunking, tail repack, pool_w,
-    overlapped estimator reduction).  Returns a TransportCarry whose output
-    arrays are sharded over packets and whose estimator arrays are fully
-    reduced (replicated) — bitwise identical to kernel.run_transport for
-    any device count (per-packet counter RNG + deterministic reductions).
+    Full-parity production entry point (lane-continuous chunking, tail
+    repack, pool_w).  Returns a TransportCarry whose output arrays are
+    sharded over packets and whose estimator arrays are fully reduced
+    (replicated) — per-packet outputs bitwise identical to
+    kernel.run_transport for any device count (per-packet counter RNG).
     """
     n_dev = mesh.devices.size
     if n_packets % n_dev != 0:
@@ -280,76 +292,58 @@ def run_transport_sharded(
     # per-device chunking: global chunk covers n_dev * chunk_local packets
     chunk_local = max(chunk_size // n_dev, 1)
     n_local_total = n_packets // n_dev
+    batch_local = min(batch_size, n_local_total)
 
-    carries = []
-    pending = ()
-    reduced_parts = []
+    carry = _init_like(static, batch_local, n_local_total, mesh)
+    have_carry = False
     for start_local in range(0, n_local_total, chunk_local):
         n_local = min(chunk_local, n_local_total - start_local)
-        batch_local = min(batch_size, n_local)
+        last = start_local + n_local >= n_local_total
         # global slice: device d's packets for this chunk live at
         # [d*n_local_total + start_local, ... + n_local) — reshape the pool
         # so each device gets its contiguous sub-slice
         sl = _chunk_slice(n_dev, n_local_total, start_local, n_local)
-        tb = tail_batch if n_local >= 4 * max(tail_batch, 1) else 0
-        carry, reduced = _sharded_chunk(
+        carry = _sharded_chunk(
             tables,
             static,
             pool_mu[sl],
             pool_nu_cmf[sl],
             base_key,
             jnp.asarray(start_local, jnp.int32),
-            pending,
+            carry,
             n_local=n_local,
             n_local_total=n_local_total,
             batch_local=batch_local,
             mesh=mesh,
             max_steps=max_steps,
-            tail_batch=tb,
-            have_pending=bool(pending),
+            tail_batch=tail_batch,
+            have_carry=have_carry,
             have_w=have_w,
+            drain=last,
             pool_w=pool_w[sl] if have_w else None,
         )
-        if reduced:
-            reduced_parts.append(reduced)
-        pending = _est_tuple(carry, static)
-        carries.append(carry)
-    reduced_parts.append(_final_psum(pending, mesh))
+        have_carry = True
+    return _final_reduce(carry, mesh, static)
 
-    # sum the reduced estimator partials across chunks (host-side jnp adds)
-    fields = _est_fields(static)
-    totals = list(reduced_parts[0])
-    for part in reduced_parts[1:]:
-        totals = [a + b for a, b in zip(totals, part)]
 
-    first = carries[0]
+def _init_like(static, batch_local, n_local_total, mesh):
+    """Globally-shaped zero carry matching _sharded_chunk's out layout.
 
-    def cat(field):
-        if len(carries) == 1:
-            return getattr(first, field)
-        return _interleave_chunks(
-            [getattr(c, field) for c in carries], n_dev
-        )
-
-    def tot(field):
-        out = getattr(first, field)
-        for c in carries[1:]:
-            out = out + getattr(c, field)
-        return out
-
-    merged = first._replace(
-        out_packed=cat("out_packed"),
-        n_steps=tot("n_steps"),
-        vp_count=tot("vp_count"),
-        **dict(zip(fields, totals)),
-    )
-    if static.vpacket_capacity > 0:
-        merged = merged._replace(vp_packed=cat("vp_packed"))
-    if static.track_last_interaction:
-        merged = merged._replace(li_packed=cat("li_packed"))
-    if static.track_rpacket_length > 0:
-        merged = merged._replace(tr_packed=cat("tr_packed"))
-    return merged
+    Lane/per-packet fields are n_dev x the per-device shape (sharded over
+    'packets'); scalar/estimator fields keep the per-device shape.  Only
+    consumed as the donated dummy carry0 of the first chunk.
+    """
+    n_dev = mesh.devices.size
+    local = init_carry(static, batch_local, n_local_total)
+    specs = _carry_specs(static)
+    out = {}
+    for f in TransportCarry._fields:
+        x = getattr(local, f)
+        spec = getattr(specs, f)
+        if len(spec) > 0 and spec[0] == "packets":
+            x = jnp.zeros((x.shape[0] * n_dev,) + x.shape[1:], x.dtype)
+        out[f] = x
+    return TransportCarry(**out)
 
 
 def _chunk_slice(n_dev, n_local_total, start_local, n_local):
@@ -360,21 +354,3 @@ def _chunk_slice(n_dev, n_local_total, start_local, n_local):
     base = np.arange(n_dev)[:, None] * n_local_total
     idx = base + (start_local + np.arange(n_local))[None, :]
     return jnp.asarray(idx.reshape(-1))
-
-
-def _interleave_chunks(parts, n_dev):
-    """Reassemble per-chunk sharded outputs into global packet order.
-
-    Each part is (n_dev * k_i * w) flat (device-major); the global layout is
-    device-major over the FULL pool, so concatenate per-device segments.
-    """
-    segs = []
-    for d in range(n_dev):
-        for p in parts:
-            k = p.shape[0] // n_dev
-            segs.append(p[d * k : (d + 1) * k])
-    out = jnp.concatenate(
-        [segs[d * len(parts) + c]
-         for d in range(n_dev) for c in range(len(parts))]
-    )
-    return out

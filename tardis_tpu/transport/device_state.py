@@ -96,6 +96,10 @@ class TransportTables(NamedTuple):
     chain_alias: jnp.ndarray = jnp.zeros((1, 2), jnp.float32)  # (S*M*M, 2)
     emit_alias: jnp.ndarray = jnp.zeros((1, 3), jnp.float32)  # (S*E, 3)
     emit_info: jnp.ndarray = jnp.zeros((1, 2), jnp.float32)  # (M, 2)
+    # two-photon decay emission: inverse-CDF frequency table in kernel nu
+    # units (continuum_macro.two_photon_inv_cdf * nu0); size-1 dummy when
+    # two-photon decay is disabled
+    two_photon_nu: jnp.ndarray = jnp.zeros(1, jnp.float32)  # (TPN,)
 
 
 class TransportStaticConfig(NamedTuple):
@@ -143,6 +147,10 @@ class TransportStaticConfig(NamedTuple):
     use_macro_chain: bool = False
     n_chain_states: int = 0  # M
     emit_total: int = 0  # E (emission alias entries)
+    # two-photon decay emission channel active (continuum mode only;
+    # reference MacroAtomTransitionType.TWO_PHOTON, macro_atom.py:30)
+    enable_two_photon: bool = False
+    n_two_photon_table: int = 0  # inverse-CDF table length
 
 
 def build_continuum_grid(photo_ion, edge_eps: float = 1e-6):
@@ -299,6 +307,30 @@ def build_transport_tables(
             fb_nu=jnp.asarray(pi.nu / NU_UNIT, jnp.float32),
             pion_block_start=jnp.asarray(pi.block_references, jnp.int32),
         )
+        if cm.n_two_photon > 0:
+            if cm.n_two_photon > 1:
+                raise NotImplementedError(
+                    "only one two-photon decay transition is supported "
+                    "(matching the reference, plasma/properties/"
+                    "atomic.py:400-402)"
+                )
+            from tardis_tpu.opacities.continuum_macro import (
+                two_photon_inv_cdf,
+            )
+
+            tp = atom_data.two_photon
+            # the active transition is the one whose id was wired into the
+            # deactivation block (kind EMIT_TWO_PHOTON)
+            from tardis_tpu.opacities.continuum_macro import EMIT_TWO_PHOTON
+
+            t_act = int(cm.deact_id[cm.deact_kind == EMIT_TWO_PHOTON][0])
+            y_tab = two_photon_inv_cdf(
+                float(tp.alpha[t_act]), float(tp.beta[t_act]),
+                float(tp.gamma[t_act]),
+            )
+            cont_kw["two_photon_nu"] = jnp.asarray(
+                y_tab * float(tp.nu0[t_act]) / NU_UNIT, jnp.float32
+            )
         cont_static = dict(
             enable_continuum=True,
             n_continua=Cn,
@@ -312,6 +344,8 @@ def build_transport_tables(
                 np.ceil(np.log2(max(2, np.max(np.diff(pi.block_references)))))
             ) + 1,
             k_state=cm.k_state,
+            enable_two_photon=cm.n_two_photon > 0,
+            n_two_photon_table=256 if cm.n_two_photon > 0 else 0,
         )
 
     # per-line aux channel packed into the search's level-0 rows: the

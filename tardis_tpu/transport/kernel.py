@@ -417,8 +417,22 @@ def make_transport_step(
     base_key,
     pid_offset=0,
     pool_w=None,
+    n_out: int | None = None,
+    out_offset=0,
 ):
-    """Build the per-event step function for lax.while_loop."""
+    """Build the per-event step function for lax.while_loop.
+
+    ``n_packets`` is the LOCAL pool size driving the refill; ``pid_offset``
+    is the global packet id of pool entry 0 (stored into ``pkt_id`` at
+    refill and feeding the counter RNG).  ``n_out`` / ``out_offset`` size
+    and address the per-packet output buffers (out/tracker/last-interaction):
+    a packet writes at row ``pkt_id - out_offset`` in buffers of ``n_out``
+    rows.  Defaults reproduce the single-pool case (n_out=n_packets,
+    out_offset=pid_offset is NOT implied — callers carrying lanes across
+    pool chunks keep one global buffer with out_offset=0).
+    """
+    if n_out is None:
+        n_out = n_packets
     S = static.n_shells
     L = static.n_lines
     LP1 = L + 1
@@ -482,7 +496,7 @@ def make_transport_step(
         energy = jnp.where(can_fill, b_energy, carry.energy)
         shell = jnp.where(can_fill, 0, carry.shell)
         next_line = jnp.where(can_fill, birth_line, carry.next_line)
-        pkt_id = jnp.where(can_fill, new_ids, carry.pkt_id)
+        pkt_id = jnp.where(can_fill, new_ids + pid_offset, carry.pkt_id)
         event_idx = jnp.where(can_fill, 0, carry.event_idx)
         alive = carry.alive | can_fill
         next_unborn = carry.next_unborn + jnp.sum(can_fill.astype(I32))
@@ -517,14 +531,12 @@ def make_transport_step(
             vp_packed, vp_count = carry.vp_packed, carry.vp_count
 
         # ------------------------------------------------ 2. RNG
-        U = _step_uniforms(base_key, pkt_id + pid_offset, event_idx)
+        U = _step_uniforms(base_key, pkt_id, event_idx)
         if use_walk:
             # legacy per-tag keys for the walk fallback's jump draws
             def mk_key(pid, eidx):
                 return jax.random.fold_in(
-                    jax.random.fold_in(
-                        base_key, (pid + pid_offset).astype(jnp.uint32)
-                    ),
+                    jax.random.fold_in(base_key, pid.astype(jnp.uint32)),
                     eidx.astype(jnp.uint32),
                 )
 
@@ -835,6 +847,21 @@ def make_transport_step(
                 tables.line_nu[em_line],
                 jnp.where(em_kind == 1, nu_cmf_fb, nu_cmf_ff),
             )
+            if static.enable_two_photon:
+                # two-photon continuum emission: linear-interp inverse CDF
+                # of the Nussbaumer & Schmutz (1984) energy distribution
+                # (continuum_macro.two_photon_inv_cdf); reference defines
+                # the channel (MacroAtomTransitionType.TWO_PHOTON) but
+                # never samples it — completed here
+                TPN = static.n_two_photon_table
+                pos = U[:, COL_FB] * (TPN - 1)
+                i_tp = jnp.clip(pos.astype(I32), 0, TPN - 2)
+                frac_tp = pos - i_tp.astype(F32)
+                nu_cmf_tp = (
+                    tables.two_photon_nu[i_tp] * (1.0 - frac_tp)
+                    + tables.two_photon_nu[i_tp + 1] * frac_tp
+                )
+                nu_cmf_em = jnp.where(em_kind == 3, nu_cmf_tp, nu_cmf_em)
             nu_line_new = nu_cmf_em * inv_dop_new
             # next line id: emitted line + 1 for bb, reverse-searchsorted of
             # the comoving frequency for bf/ff (get_current_line_id,
@@ -889,13 +916,15 @@ def make_transport_step(
         )
         r, mu, nu, energy = lax.optimization_barrier((r, mu, nu, energy))
 
+        pkt_row = pkt_id - out_offset  # row in the per-packet out buffers
+
         # full tracker writes (event log capped at K events per packet)
         if static.track_rpacket_length > 0:
             K = static.track_rpacket_length
             slot_ok = alive & (event_idx < K)
             widx_t = jnp.where(
-                slot_ok, pkt_id * K + jnp.minimum(event_idx, K - 1),
-                n_packets * K + 1,
+                slot_ok, pkt_row * K + jnp.minimum(event_idx, K - 1),
+                n_out * K + 1,
             )
             ev_code = jnp.where(
                 is_line, 2.0,
@@ -912,7 +941,7 @@ def make_transport_step(
 
         # last-interaction tracking (one scatter-set per field at pkt_id)
         if static.track_last_interaction:
-            tr_idx = jnp.where(interacts, pkt_id, n_packets + 1)
+            tr_idx = jnp.where(interacts, pkt_row, n_out + 1)
             rows_li = jnp.stack(
                 [
                     jnp.where(is_line, 2.0, jnp.where(is_contproc, 3.0, 1.0)),
@@ -953,7 +982,7 @@ def make_transport_step(
 
         # ------------------------------------------------ 7. deaths
         dying = emitted | reabsorbed
-        out_base = jnp.where(dying, pkt_id, n_packets) * 2
+        out_base = jnp.where(dying, pkt_row, n_out) * 2
         nu_signed = jnp.where(emitted, nu, -nu)
         if _DISABLE_OUT_SCATTER:
             out_packed = carry.out_packed
@@ -1067,6 +1096,9 @@ def transport_loop(
     carry0: TransportCarry | None = None,
     tail_threshold: int = 0,
     pool_w=None,
+    n_out: int | None = None,
+    out_offset=0,
+    drain: bool = True,
 ):
     """The transport while-loop (traceable; used directly under shard_map).
 
@@ -1074,71 +1106,37 @@ def transport_loop(
     exhausted and at most that many lanes remain alive — the host then
     repacks the survivors into a narrower batch (see run_transport_tail);
     per-packet counter RNG makes the result bitwise identical either way.
+
+    With ``drain=False`` the loop exits as soon as the pool is exhausted,
+    leaving every in-flight lane alive in the returned carry — the
+    lane-continuity contract for chunked pools: the next chunk's loop
+    (carry0=this carry, a fresh pool slice, its pid_offset) resumes the
+    refill with no occupancy decay, making chunked execution nearly
+    step-identical to one giant pool — only the lanes that die in the very
+    boundary step refill one step late (only the FINAL chunk drains).
     """
     step = make_transport_step(
         tables, static, pool_mu, pool_nu_cmf, n_packets, base_key, pid_offset,
-        pool_w=pool_w,
+        pool_w=pool_w, n_out=n_out, out_offset=out_offset,
     )
     if carry0 is None:
-        carry0 = init_carry(static, batch_size, n_packets)
+        carry0 = init_carry(
+            static, batch_size, n_packets if n_out is None else n_out
+        )
 
     def cond(c: TransportCarry):
-        running = (c.next_unborn < n_packets) | jnp.any(c.alive)
+        pool_left = c.next_unborn < n_packets
+        if not drain:
+            return pool_left & (c.n_steps < max_steps)
+        running = pool_left | jnp.any(c.alive)
         if tail_threshold > 0:
-            not_tail = (c.next_unborn < n_packets) | (
+            not_tail = pool_left | (
                 jnp.sum(c.alive.astype(I32)) > tail_threshold
             )
             running = running & not_tail
         return running & (c.n_steps < max_steps)
 
     return lax.while_loop(cond, step, carry0)
-
-
-@partial(
-    jax.jit,
-    static_argnames=("static", "n_packets", "batch_size", "max_steps",
-                     "tail_threshold"),
-)
-def run_transport_main(
-    tables: TransportTables,
-    static: TransportStaticConfig,
-    pool_mu,
-    pool_nu_cmf,
-    base_key,
-    n_packets: int,
-    batch_size: int,
-    max_steps: int = 1 << 30,
-    tail_threshold: int = 0,
-    pool_w=None,
-):
-    return transport_loop(
-        tables, static, pool_mu, pool_nu_cmf, base_key,
-        n_packets, batch_size, max_steps, tail_threshold=tail_threshold,
-        pool_w=pool_w,
-    )
-
-
-@partial(
-    jax.jit,
-    static_argnames=("static", "n_packets", "tail_batch", "max_steps"),
-    donate_argnames=("carry0",),
-)
-def run_transport_tailphase(
-    tables: TransportTables,
-    static: TransportStaticConfig,
-    pool_mu,
-    pool_nu_cmf,
-    base_key,
-    carry0: TransportCarry,
-    n_packets: int,
-    tail_batch: int,
-    max_steps: int = 1 << 30,
-    pool_w=None,
-):
-    return transport_loop(
-        tables, static, pool_mu, pool_nu_cmf, base_key,
-        n_packets, tail_batch, max_steps, carry0=carry0, pool_w=pool_w,
-    )
 
 
 def run_transport(
@@ -1164,156 +1162,65 @@ def run_transport(
     line cascades (one lockstep event per step) — the analogue of the
     reference's cheap per-thread tail, which a wide lockstep batch lacks.
 
-    Pools larger than ``chunk_size`` are processed in host-side chunks with
-    global packet-id RNG offsets (bitwise identical to a single pass).
+    Pools larger than ``chunk_size`` run as a host loop of chunk programs
+    with **lane continuity** (round 3): ONE carry threads through every
+    chunk; each non-final chunk's loop exits the moment its pool slice is
+    exhausted (transport_loop drain=False) with all in-flight lanes still
+    alive, and the next chunk resumes the refill from its own slice.  Chunk
+    boundaries therefore cost zero occupancy (at most a one-step refill lag
+    for lanes dying in the boundary step), and only the FINAL chunk pays a
+    drain tail.  Per-packet trajectories stay bitwise identical to an
+    unchunked run (counter RNG) and land in one global n_packets-row
+    buffer (pkt_id is global), so no host-side merge step exists.
+
     Root cause of the chunking requirement (round-1 "1e6-packet fault",
     root-caused round 2): the TPU worker on this stack kills any single
     XLA program execution running longer than roughly a minute — a 1e7-
     packet while_loop (~70 s) reliably crashes the worker, while 2e6
     packets (~12 s) is fine at any packet count when split.  The default
     chunk therefore bounds per-kernel wall time, NOT device memory; raise
-    it on runtimes without the watchdog.  Larger chunks also improve lane
-    occupancy, so the default is the fastest safe setting.
+    it on runtimes without the watchdog.
     """
-    if n_packets > chunk_size > 0:
-        return _run_transport_chunked(
-            tables, static, pool_mu, pool_nu_cmf, base_key,
-            n_packets, batch_size, max_steps, tail_batch, chunk_size,
-            pool_w=pool_w,
-        )
-    if tail_batch <= 0 or tail_batch >= batch_size:
-        return run_transport_main(
-            tables, static, pool_mu, pool_nu_cmf, base_key,
-            n_packets=n_packets, batch_size=batch_size, max_steps=max_steps,
-            pool_w=pool_w,
-        )
     import numpy as np
 
-    carry = run_transport_main(
-        tables, static, pool_mu, pool_nu_cmf, base_key,
-        n_packets=n_packets, batch_size=batch_size, max_steps=max_steps,
-        tail_threshold=tail_batch, pool_w=pool_w,
-    )
-    alive = np.asarray(carry.alive)
-    n_alive = int(alive.sum())
-    if n_alive == 0:
-        return carry
-    idx = np.nonzero(alive)[0]
-    pad = np.zeros(tail_batch - n_alive, dtype=idx.dtype)
-    sel = jnp.asarray(np.concatenate([idx, pad]), I32)
-    mask = jnp.asarray(
-        np.arange(tail_batch) < n_alive
-    )
-
-    def take(x):
-        return x[sel]
-
-    tail0 = carry._replace(
-        r=take(carry.r),
-        mu=take(carry.mu),
-        nu=take(carry.nu),
-        energy=take(carry.energy),
-        shell=take(carry.shell),
-        next_line=take(carry.next_line),
-        pkt_id=take(carry.pkt_id),
-        event_idx=take(carry.event_idx),
-        alive=take(carry.alive) & mask,
-    )
-    return run_transport_tailphase(
-        tables, static, pool_mu, pool_nu_cmf, base_key, tail0,
-        n_packets=n_packets, tail_batch=tail_batch, max_steps=max_steps,
-        pool_w=pool_w,
-    )
-
-
-def _run_transport_chunked(
-    tables, static, pool_mu, pool_nu_cmf, base_key,
-    n_packets, batch_size, max_steps, tail_batch, chunk_size, pool_w=None,
-):
-    import numpy as np
-
-    carries = []
+    batch = min(batch_size, n_packets)
+    if chunk_size <= 0:
+        chunk_size = n_packets
+    carry = init_carry(static, batch, n_packets)
     for start in range(0, n_packets, chunk_size):
         n_local = min(chunk_size, n_packets - start)
-        c = transport_chunk(
+        last = start + n_local >= n_packets
+        tb = tail_batch if (last and 0 < tail_batch < batch) else 0
+        if start > 0:
+            carry = carry._replace(next_unborn=jnp.zeros((), I32))
+        carry = _run_chunk_jit(
             tables, static,
             pool_mu[start : start + n_local],
             pool_nu_cmf[start : start + n_local],
             base_key,
+            jnp.asarray(start, I32),
+            carry,
             n_packets=n_local,
-            batch_size=min(batch_size, n_local),
+            batch_size=batch,
             max_steps=max_steps,
-            tail_batch=tail_batch if n_local >= 4 * tail_batch else 0,
-            pid_offset=start,
+            tail_threshold=tb,
+            n_out=n_packets,
+            drain=last,
             pool_w=(
                 None if pool_w is None
                 else pool_w[start : start + n_local]
             ),
         )
-        carries.append(c)
-    first = carries[0]
+    if not (0 < tail_batch < batch):
+        return carry
 
-    def cat(field):
-        return jnp.concatenate([getattr(c, field) for c in carries])
-
-    def tot(field):
-        out = getattr(first, field)
-        for c in carries[1:]:
-            out = out + getattr(c, field)
-        return out
-
-    merged = first._replace(
-        out_packed=cat("out_packed"),
-        est_j=tot("est_j"),
-        est_nubar=tot("est_nubar"),
-        line_diff=tot("line_diff"),
-        n_steps=tot("n_steps"),
-        n_events=tot("n_events"),
-        vp_count=tot("vp_count"),
-        line_lo=tot("line_lo"),
-        est_j_lo=tot("est_j_lo"),
-        est_nubar_lo=tot("est_nubar_lo"),
-    )
-    if static.enable_continuum:
-        merged = merged._replace(
-            cont_moments=tot("cont_moments"),
-            est_ff_heat=tot("est_ff_heat"),
-            cont_lo=tot("cont_lo"),
-            ff_lo=tot("ff_lo"),
-        )
-    if static.vpacket_capacity > 0:
-        merged = merged._replace(vp_packed=cat("vp_packed"))
-    if static.track_last_interaction:
-        merged = merged._replace(li_packed=cat("li_packed"))
-    if static.track_rpacket_length > 0:
-        merged = merged._replace(tr_packed=cat("tr_packed"))
-    return merged
-
-
-def transport_chunk(
-    tables, static, pool_mu, pool_nu_cmf, base_key,
-    n_packets, batch_size, max_steps, tail_batch, pid_offset, pool_w=None,
-):
-    """One chunk with a global pid offset (RNG-compatible with unchunked)."""
-    if tail_batch <= 0 or tail_batch >= batch_size:
-        return _run_chunk_jit(
-            tables, static, pool_mu, pool_nu_cmf, base_key,
-            jnp.asarray(pid_offset, I32),
-            n_packets=n_packets, batch_size=batch_size, max_steps=max_steps,
-            tail_threshold=0, pool_w=pool_w,
-        )
-    import numpy as np
-
-    carry = _run_chunk_jit(
-        tables, static, pool_mu, pool_nu_cmf, base_key,
-        jnp.asarray(pid_offset, I32),
-        n_packets=n_packets, batch_size=batch_size, max_steps=max_steps,
-        tail_threshold=tail_batch, pool_w=pool_w,
-    )
+    # final tail repack: compact survivors into a narrow lane batch
     alive = np.asarray(carry.alive)
     n_alive = int(alive.sum())
     if n_alive == 0:
         return carry
+    last_start = ((n_packets - 1) // chunk_size) * chunk_size
+    n_local = n_packets - last_start
     idx = np.nonzero(alive)[0]
     pad = np.zeros(tail_batch - n_alive, dtype=idx.dtype)
     sel = jnp.asarray(np.concatenate([idx, pad]), I32)
@@ -1329,40 +1236,51 @@ def transport_chunk(
         event_idx=take(carry.event_idx), alive=take(carry.alive) & mask,
     )
     return _run_tail_jit(
-        tables, static, pool_mu, pool_nu_cmf, base_key, tail0,
-        jnp.asarray(pid_offset, I32),
-        n_packets=n_packets, tail_batch=tail_batch, max_steps=max_steps,
-        pool_w=pool_w,
+        tables, static,
+        pool_mu[last_start:], pool_nu_cmf[last_start:],
+        base_key, tail0,
+        jnp.asarray(last_start, I32),
+        n_packets=n_local, tail_batch=tail_batch, max_steps=max_steps,
+        n_out=n_packets,
+        pool_w=None if pool_w is None else pool_w[last_start:],
     )
+
+
+# backwards-compatible alias: a chunked run IS the plain run now
+_run_transport_chunked = run_transport
 
 
 @partial(
     jax.jit,
     static_argnames=("static", "n_packets", "batch_size", "max_steps",
-                     "tail_threshold"),
+                     "tail_threshold", "n_out", "drain"),
+    donate_argnames=("carry0",),
 )
 def _run_chunk_jit(
-    tables, static, pool_mu, pool_nu_cmf, base_key, pid_offset,
-    n_packets, batch_size, max_steps, tail_threshold, pool_w=None,
+    tables, static, pool_mu, pool_nu_cmf, base_key, pid_offset, carry0,
+    n_packets, batch_size, max_steps, tail_threshold, n_out, drain,
+    pool_w=None,
 ):
     return transport_loop(
         tables, static, pool_mu, pool_nu_cmf, base_key,
         n_packets, batch_size, max_steps, pid_offset=pid_offset,
-        tail_threshold=tail_threshold, pool_w=pool_w,
+        carry0=carry0, tail_threshold=tail_threshold, pool_w=pool_w,
+        n_out=n_out, drain=drain,
     )
 
 
 @partial(
     jax.jit,
-    static_argnames=("static", "n_packets", "tail_batch", "max_steps"),
+    static_argnames=("static", "n_packets", "tail_batch", "max_steps",
+                     "n_out"),
     donate_argnames=("carry0",),
 )
 def _run_tail_jit(
     tables, static, pool_mu, pool_nu_cmf, base_key, carry0, pid_offset,
-    n_packets, tail_batch, max_steps, pool_w=None,
+    n_packets, tail_batch, max_steps, n_out, pool_w=None,
 ):
     return transport_loop(
         tables, static, pool_mu, pool_nu_cmf, base_key,
         n_packets, tail_batch, max_steps, pid_offset=pid_offset,
-        carry0=carry0, pool_w=pool_w,
+        carry0=carry0, pool_w=pool_w, n_out=n_out,
     )

@@ -64,6 +64,11 @@ class TypeIIPWorkflow(SimpleTARDISWorkflow):
         macro = solve_continuum_macro_state(
             sim.atom_data, sim.plasma_state, self.cont_state,
             sim.plasma_state.j_blues,
+            enable_two_photon=bool(
+                sim.config.plasma.get("continuum_interaction", {}).get(
+                    "enable_two_photon_decay", False
+                )
+            ),
         )
         result = sim.transport.run_iteration(
             sim.state,
