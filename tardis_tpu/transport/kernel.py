@@ -931,8 +931,7 @@ def make_transport_step(
                 jnp.where(is_escat, 1.0, jnp.where(is_contproc, 4.0, 3.0)),
             )
             rows_t = jnp.stack(
-                [r, nu, energy, shell.astype(F32), ev_code,
-                 jnp.zeros_like(r)],
+                [r, nu, energy, shell.astype(F32), ev_code, mu],
                 axis=1,
             )
             tr_packed = carry.tr_packed.at[widx_t].set(rows_t, mode="drop")

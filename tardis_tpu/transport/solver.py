@@ -401,6 +401,9 @@ class TransportSolver:
                 "energy": tr[:, :, 2],
                 "shell": tr[:, :, 3].astype(np.int32),
                 "type": tr[:, :, 4].astype(np.int8),
+                # direction cosine AFTER each event (reference tracker
+                # after_mu column, used by RPacketPlotter's theta geometry)
+                "mu": tr[:, :, 5],
             }
 
         last_interaction = None

@@ -205,3 +205,63 @@ def test_debug_packet_log_and_rpacket_plot(atom_data_prepared):
     plotter = RPacketPlotter.from_simulation(s, no_of_packets=5)
     ax = plotter.generate_plot_mpl()
     assert ax is not None
+
+    # theta-propagation geometry (reference rpacket_plot.py:450-531):
+    # radius recovered from (x, y) must equal the tracked radius exactly,
+    # and the animation padding must synchronize all trajectories
+    xs, ys, tys = plotter.get_coordinates_multiple_packets()
+    for p in range(len(xs)):
+        r_trk, mu_trk, _ = plotter._packet_steps(p)
+        r_xy = np.hypot(np.asarray(xs[p]), np.asarray(ys[p]))
+        np.testing.assert_allclose(r_xy, r_trk, rtol=1e-10)
+    xs, ys, tys, m = plotter.get_equal_array_size(xs, ys, tys)
+    assert all(len(x) == m for x in xs)
+    # mu is recorded per event for the geometry
+    assert "mu" in res.rpacket_tracker
+    mu_all = res.rpacket_tracker["mu"]
+    valid = res.rpacket_tracker["type"] != 0
+    assert np.all(np.abs(mu_all[valid]) <= 1.0)
+
+
+def test_liv_plotter_full(sim):
+    """LIVPlotter parity features (VERDICT round-2 item 10 / reference
+    liv_plot.py): species filtering (ion / element / range), nelements
+    top-N, wavelength masking, velocity re-binning, step-plot pipeline."""
+    from tardis_tpu.visualization.liv import LIVPlotter
+
+    p = LIVPlotter.from_simulation(sim)
+
+    ax = p.generate_plot_mpl(num_bins=10)
+    assert ax is not None
+    assert len(p.plot_data) >= 1
+    assert len(p.bin_edges) == 11
+    total_all = sum(len(d) for d in p.plot_data)
+    assert total_all > 0
+
+    # element filter: only Si packets remain
+    p.generate_plot_mpl(species_list=["Si"])
+    assert p._species_name == ["Si"]
+
+    # ion + range filter: labels carry roman numerals for ion-specific
+    # entries; pick an ion actually present in the model's interactions
+    v, z, ion, nus = p._interaction_arrays("real")
+    z0, i0 = int(z[0]), int(ion[0])
+    from tardis_tpu.atomic.atom_data import ATOMIC_SYMBOLS
+    from tardis_tpu.visualization.sdec import _roman
+
+    sym = ATOMIC_SYMBOLS[z0 - 1]
+    p.generate_plot_mpl(species_list=[f"{sym} {_roman(i0)}", "S I-III"])
+    assert f"{sym} {_roman(i0)}" in p._species_name
+
+    # top-N elements
+    p.generate_plot_mpl(nelements=2)
+    assert len(p._species_name) == 2
+
+    # wavelength range mask reduces the packet count
+    p.generate_plot_mpl(packet_wvl_range=(3000.0, 7000.0))
+    total_masked = sum(len(d) for d in p.plot_data)
+    assert 0 < total_masked <= total_all
+
+    # step-plot data: x doubled edges, y doubled histogram
+    x, y = p._step_data(p.plot_data[0], p.bin_edges)
+    assert len(x) == len(y) == 2 * (len(p.bin_edges) - 1)
