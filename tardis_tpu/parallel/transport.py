@@ -274,8 +274,12 @@ def run_transport_sharded(
     tail_batch: int = 0,
     chunk_size: int = 2097152,
     pool_w=None,
+    progress=None,
 ):
     """Run transport with the packet pool sharded over ``mesh``.
+
+    ``progress(done, total)`` is called after each chunk program (see
+    kernel.run_transport).
 
     Full-parity production entry point (lane-continuous chunking, tail
     repack, pool_w).  Returns a TransportCarry whose output arrays are
@@ -289,6 +293,9 @@ def run_transport_sharded(
             f"n_packets={n_packets} not divisible by {n_dev} devices"
         )
     have_w = pool_w is not None
+    if progress is not None:
+        chunk_size = min(chunk_size, 262144)
+        progress(0, n_packets)
     # per-device chunking: global chunk covers n_dev * chunk_local packets
     chunk_local = max(chunk_size // n_dev, 1)
     n_local_total = n_packets // n_dev
@@ -323,6 +330,11 @@ def run_transport_sharded(
             pool_w=pool_w[sl] if have_w else None,
         )
         have_carry = True
+        if progress is not None:
+            jax.block_until_ready(carry.n_steps)
+            progress(
+                min((start_local + n_local) * n_dev, n_packets), n_packets
+            )
     return _final_reduce(carry, mesh, static)
 
 

@@ -407,8 +407,13 @@ class Simulation:
 
 
 def run_tardis(config_or_path, atom_data=None, callbacks=(),
-               log_level=None, specific_log_level=False) -> Simulation:
-    """Top-level API (reference tardis/base.py:10-126)."""
+               log_level=None, specific_log_level=False,
+               show_progress_bars=False) -> Simulation:
+    """Top-level API (reference tardis/base.py:10-126).
+
+    ``show_progress_bars`` enables the chunk-granular in-run packet
+    progress bar (reference show_progress_bars / update_packet_pbar).
+    """
     from tardis_tpu.config.reader import config_from_dict, config_from_yaml
 
     if isinstance(config_or_path, (str,)):
@@ -422,6 +427,7 @@ def run_tardis(config_or_path, atom_data=None, callbacks=(),
 
     logging_state(log_level, config, specific_log_level)
     sim = Simulation.from_config(config, atom_data=atom_data)
+    sim.transport.show_packet_progress = bool(show_progress_bars)
     for cb in callbacks:
         sim.add_callback(cb)
     return sim.run()

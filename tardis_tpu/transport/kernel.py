@@ -1150,8 +1150,15 @@ def run_transport(
     tail_batch: int = 0,
     chunk_size: int = 2097152,
     pool_w=None,
+    progress=None,
 ):
     """Run transport for all n_packets on one device; returns final carry.
+
+    ``progress``: optional callable ``progress(done_packets, n_packets)``
+    invoked after every chunk program returns — the TPU-native analogue of
+    the reference's in-loop packet progress bar (progress_bars.py objmode
+    hook): XLA programs cannot call back into Python mid-loop, so the
+    chunk boundary is the natural progress granularity.
 
     ``tail_batch`` > 0 enables the two-phase tail optimization: the wide
     main loop exits once <= tail_batch lanes remain (pool exhausted), the
@@ -1185,6 +1192,11 @@ def run_transport(
     batch = min(batch_size, n_packets)
     if chunk_size <= 0:
         chunk_size = n_packets
+    if progress is not None:
+        # finer fixed subdivision so the bar moves (one extra compiled
+        # program size at most; lane continuity makes the split free)
+        chunk_size = min(chunk_size, 262144)
+        progress(0, n_packets)
     carry = init_carry(static, batch, n_packets)
     for start in range(0, n_packets, chunk_size):
         n_local = min(chunk_size, n_packets - start)
@@ -1210,6 +1222,9 @@ def run_transport(
                 else pool_w[start : start + n_local]
             ),
         )
+        if progress is not None:
+            jax.block_until_ready(carry.n_steps)
+            progress(min(start + n_local, n_packets), n_packets)
     if not (0 < tail_batch < batch):
         return carry
 

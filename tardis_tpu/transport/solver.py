@@ -106,6 +106,7 @@ class TransportSolver:
         use_macro_chain: bool | str = "auto",
         packet_source: str = "auto",
         mesh: object | str = "auto",
+        show_packet_progress: bool = False,
     ):
         # device mesh for packet-parallel transport: "auto" shards over all
         # local devices when more than one is visible (the PRODUCTION
@@ -129,6 +130,10 @@ class TransportSolver:
         self.enable_full_relativity = enable_full_relativity
         self.track_rpacket_length = track_rpacket_length
         self.inner_boundary_albedo = inner_boundary_albedo
+        # in-run packet progress bar (chunk-granular; the TPU analogue of
+        # the reference's montecarlo progress bar, util/base.py
+        # update_packet_pbar / progress_bars config)
+        self.show_packet_progress = show_packet_progress
 
     # ------------------------------------------------------------------
     def run_iteration(
@@ -245,6 +250,23 @@ class TransportSolver:
 
         batch = min(self.batch_size, n_packets)
         tail = min(2048, batch // 4) if batch >= 8192 else 0
+        progress = None
+        pbar = None
+        if self.show_packet_progress:
+            try:
+                from tqdm.auto import tqdm
+
+                pbar = tqdm(
+                    total=n_packets, desc="packets", unit="pkt",
+                    unit_scale=True, leave=False,
+                )
+
+                def progress(done, total):
+                    pbar.n = done
+                    pbar.refresh()
+
+            except ImportError:  # pragma: no cover
+                pass
         mesh = self.mesh
         if mesh == "auto":
             mesh = None
@@ -270,6 +292,7 @@ class TransportSolver:
                     max(tail // mesh.devices.size, 64) if tail else 0
                 ),
                 pool_w=pool_w,
+                progress=progress,
             )
         else:
             carry = run_transport(
@@ -282,7 +305,12 @@ class TransportSolver:
                 batch_size=batch,
                 tail_batch=tail,
                 pool_w=pool_w,
+                progress=progress,
             )
+        if pbar is not None:
+            pbar.n = n_packets
+            pbar.refresh()
+            pbar.close()
 
         virt_hist = None
         virt_edges = None

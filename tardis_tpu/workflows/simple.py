@@ -82,6 +82,8 @@ class StandardTARDISWorkflow(SimpleTARDISWorkflow):
         super().__init__(config, atom_data)
         self.show_convergence_plots = show_convergence_plots
         self.show_progress_bars = show_progress_bars
+        # in-run packet progress (chunk-granular) rides the same flag
+        self.sim.transport.show_packet_progress = bool(show_progress_bars)
         self._progress = None
 
     def run(self):
