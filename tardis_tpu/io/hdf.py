@@ -72,6 +72,11 @@ def simulation_to_hdf(sim, path: str, name: str = "simulation"):
             f"{prefix}/simulation_state/abundance",
             st.composition.mass_fractions,
         )
+        _store_array(
+            store,
+            f"{prefix}/simulation_state/atomic_numbers",
+            st.composition.atomic_numbers,
+        )
 
         if sim.plasma_state is not None:
             ps = sim.plasma_state
@@ -85,6 +90,33 @@ def simulation_to_hdf(sim, path: str, name: str = "simulation"):
                          ps.level_number_density)
             _store_array(store, f"{prefix}/plasma/ion_number_density",
                          ps.ion_number_density)
+            # row-index arrays so HDF consumers (shell-info widget) can
+            # address the flat ion/level density blocks without the solver
+            solver = getattr(sim, "plasma_solver", None)
+            atom = getattr(sim, "atom_data", None)
+            if solver is not None:
+                import numpy as _np
+
+                ion_z, ion_stage = [], []
+                for e, z in enumerate(solver.element_z):
+                    n_rows = (
+                        solver.element_block_start[e + 1]
+                        - solver.element_block_start[e]
+                        + 1
+                    )
+                    ion_z.extend([int(z)] * n_rows)
+                    ion_stage.extend(range(n_rows))
+                _store_array(store, f"{prefix}/plasma/ion_z",
+                             _np.asarray(ion_z))
+                _store_array(store, f"{prefix}/plasma/ion_stage",
+                             _np.asarray(ion_stage))
+            if atom is not None:
+                _store_array(store, f"{prefix}/plasma/level_z",
+                             atom.level_z)
+                _store_array(store, f"{prefix}/plasma/level_ion",
+                             atom.level_ion)
+                _store_array(store, f"{prefix}/plasma/level_number",
+                             atom.level_number)
 
         res = sim.last_transport_result
         if res is not None:

@@ -265,3 +265,71 @@ def test_liv_plotter_full(sim):
     # step-plot data: x doubled edges, y doubled histogram
     x, y = p._step_data(p.plot_data[0], p.bin_edges)
     assert len(x) == len(y) == 2 * (len(p.bin_edges) - 1)
+
+
+def test_shell_info_widget(sim, tmp_path):
+    """Shell-info widget tier (reference widgets/shell_info.py): linked
+    data tables from a live Simulation and from a saved HDF, plus the
+    ipywidgets layout."""
+    from tardis_tpu.io.hdf import simulation_to_hdf
+    from tardis_tpu.visualization.widgets import (
+        shell_info_from_hdf,
+        shell_info_from_simulation,
+    )
+
+    widget = shell_info_from_simulation(sim)
+    d = widget.data
+    shells = d.shells_data()
+    assert shells.index.name == "Shell No."
+    assert shells.shape == (sim.state.no_of_shells, 2)
+    # scientific-notation formatting like the reference
+    assert "e" in shells.iloc[0, 0]
+
+    ec = d.element_count(1)
+    assert "Element" in ec.columns and ec.index.name == "Z"
+    z0 = int(d.atomic_numbers[0])
+    ic = d.ion_count(z0, 1)
+    assert ic.index.name == "Ion"
+    fr = ic[f"Frac. Ab. (Z={z0})"].astype(float)
+    np.testing.assert_allclose(fr.sum(), 1.0, atol=1e-3)
+    lc = d.level_count(int(ic.index[0]), z0, 1)
+    assert lc.index.name == "Level"
+    np.testing.assert_allclose(
+        lc.iloc[:, 0].astype(float).sum(), 1.0, atol=1e-3
+    )
+
+    layout = widget.display()
+    assert layout is not None  # ipywidgets HBox built headless
+
+    # HDF-backed path reads the same tables
+    path = str(tmp_path / "widget.h5")
+    simulation_to_hdf(sim, path)
+    widget2 = shell_info_from_hdf(path)
+    np.testing.assert_allclose(
+        widget2.data.shells_data().iloc[:, 0].astype(float),
+        shells.iloc[:, 0].astype(float),
+    )
+    ic2 = widget2.data.ion_count(z0, 1)
+    np.testing.assert_allclose(
+        ic2.iloc[:, 1].astype(float), ic.iloc[:, 1].astype(float),
+        rtol=1e-6,
+    )
+
+
+def test_line_info_widget(sim):
+    """Line-info widget tier (reference widgets/line_info.py): analysis
+    passthrough + ipywidgets layout."""
+    from tardis_tpu.visualization.widgets import LineInfoWidget
+
+    w = LineInfoWidget.from_simulation(sim)
+    df = w.get_species_interactions((500.0, 20000.0))
+    assert len(df) > 0
+    sp = df.index[0]
+    counts = w.get_last_line_counts(
+        sp, wavelength_range=(500.0, 20000.0), group_mode="both"
+    )
+    assert counts["No. of packets"].sum() > 0
+    ax = w.plot_spectrum(wavelength_range=(3000.0, 7000.0))
+    assert ax is not None
+    layout = w.display()
+    assert layout is not None
