@@ -91,6 +91,7 @@ def bench_transport(
     config, state, atom, plasma = build_problem(n_levels, max_level_jump, mode)
     macro_state = None
     macro_chain = None
+    t_host0 = time.time()
     if mode in ("downbranch", "macroatom"):
         macro = atom.downbranch if mode == "downbranch" else atom.macro_atom
         margs = (
@@ -102,10 +103,17 @@ def bench_transport(
         macro_chain = solve_macro_chain(*margs, mode=mode)
         if macro_chain is None:
             macro_state = solve_macro_state(*margs)
+    macro_solve_s = time.time() - t_host0
+    # table build includes the one-time device->host readback warm-up
+    # (device_state._warm_device_readback): on the axon stack the first
+    # readback of a process costs 50-250 s REGARDLESS of size, so it is
+    # paid here during setup, not inside the timed transport call
+    t_host0 = time.time()
     tables, static = build_transport_tables(
         state.geometry, plasma, atom, mode,
         macro_state=macro_state, macro_chain=macro_chain,
     )
+    tables_build_s = time.time() - t_host0
 
     key = jax.random.key(np.uint32(23111963))
     pool_mu, pool_nu = sample_blackbody_packets(
@@ -137,6 +145,8 @@ def bench_transport(
         "mode": mode,
         "time_s": best,
         "first_time_s": times[0],
+        "macro_solve_s": macro_solve_s,
+        "tables_build_s": tables_build_s,
         "packets_per_s": n_packets / best,
         "n_steps": int(carry.n_steps),
         "n_events": float(carry.n_events),

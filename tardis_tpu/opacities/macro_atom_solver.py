@@ -158,6 +158,14 @@ def build_alias_rows(p: np.ndarray):
     """
     p = np.asarray(p, np.float64)
     R, M = p.shape
+    # native per-row Vose (OpenMP; tardis_tpu/native host_pipeline.cpp
+    # alias_rows) — ~100x the lockstep-numpy construction below, which is
+    # kept as the transparent fallback
+    from tardis_tpu import native
+
+    nat = native.alias_rows(p)
+    if nat is not None:
+        return nat
     tot = p.sum(axis=1, keepdims=True)
     with np.errstate(divide="ignore", invalid="ignore"):
         p = np.where(tot > 0, p / tot, 1.0 / M)
@@ -349,6 +357,9 @@ def solve_macro_chain(
         local[m] = np.arange(len(m))
     edge_comp = comp[i_src]
 
+    from tardis_tpu import native
+
+    use_native = native.available()
     chain_alias = np.zeros((S, M, M, 2), np.float32)
     for s in range(S):
         B_s = np.zeros((M, M))
@@ -364,7 +375,13 @@ def solve_macro_chain(
                 Bc = np.linalg.solve(A, np.diag(d))
             except np.linalg.LinAlgError:
                 Bc = np.diag(d)
-            B_s[np.ix_(m, m)] = np.clip(Bc, 0.0, None)
+            B_s[np.ix_(m, m)] = Bc if use_native else np.clip(Bc, 0.0, None)
+        if use_native:
+            # clip + row normalization + alias build + interleaved f32
+            # write, all fused in one native pass (degenerate rows
+            # self-deactivate, matching the numpy fallback)
+            native.alias_rows_interleaved(B_s, chain_alias[s])
+            continue
         row_tot = B_s.sum(axis=1, keepdims=True)
         with np.errstate(divide="ignore", invalid="ignore"):
             B_s = np.where(row_tot > 0, B_s / row_tot, 0.0)

