@@ -333,3 +333,49 @@ def test_line_info_widget(sim):
     assert ax is not None
     layout = w.display()
     assert layout is not None
+
+
+def test_grotrian_full_features(sim):
+    """GrotrianPlot parity features (reference widgets/grotrian.py):
+    level merging, wavelength filtering, shell selection, population
+    widths, log scale."""
+    from tardis_tpu.visualization.grotrian import GrotrianPlot
+
+    g = GrotrianPlot.from_simulation(sim)
+    g.max_levels = 12
+    ax = g.display()
+    assert ax is not None
+    assert g.level_populations is not None
+    assert len(g.merged_energies) <= 12
+    n_all = len(g.excite_lines) + len(g.deexcite_lines)
+
+    # aggressive merge threshold collapses the ladder
+    g.level_diff_threshold = 0.5
+    g.display()
+    assert len(g.merged_energies) < 12
+
+    # wavelength filter drops transitions
+    g.level_diff_threshold = 0.01
+    g.min_wavelength, g.max_wavelength = 100.0, 101.0
+    g.display()
+    assert len(g.excite_lines) + len(g.deexcite_lines) <= n_all
+
+    # shell selection + log scale + setters validate
+    g.min_wavelength = g.max_wavelength = None
+    g.shell = 0
+    g.y_scale = "log"
+    ax = g.display()
+    assert "log10" in ax.get_ylabel()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        g.y_scale = "bad"
+    with _pytest.raises(ValueError):
+        g.shell = 10_000
+    with _pytest.raises(ValueError):
+        g.max_levels = 1
+    # ion selection by species
+    g2 = GrotrianPlot(sim, int(sim.atom_data.species_z[1]),
+                      int(sim.atom_data.species_ion[1]))
+    assert g2.atomic_symbol
+    g2.display()
