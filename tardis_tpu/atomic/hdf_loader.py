@@ -38,6 +38,20 @@ def atom_data_from_hdf(path: str) -> AtomData:
             if "collision_data_temperatures" in store
             else None
         )
+        pion = (
+            store["photoionization_data"]
+            if "photoionization_data" in store
+            else None
+        )
+        two_ph = (
+            store["two_photon_data"] if "two_photon_data" in store else None
+        )
+        # load-only tables the reference also just carries
+        # (io/atom_data/base.py:97-131): kept in meta for downstream use
+        extra = {}
+        for name in ("linelist_atoms", "linelist_molecules"):
+            if name in store:
+                extra[name] = store[name]
 
     # --- elements
     atom_df = atom_df.reset_index()
@@ -130,6 +144,73 @@ def atom_data_from_hdf(path: str) -> AtomData:
         for (z, i), row in zeta.iterrows():
             zeta_data[(int(z), int(i))] = (t_rads, row.to_numpy(np.float64))
 
+    # --- photoionization cross-sections -> CSR blocks, continua sorted by
+    # threshold nu DESCENDING (reference level2continuum_idx ordering,
+    # iip_plasma/properties/continuum.py:1448-1452)
+    photo_ion = None
+    if pion is not None:
+        from tardis_tpu.atomic.atom_data import PhotoIonizationData
+
+        pf = pion.reset_index()
+        pz = pf["atomic_number"].to_numpy(np.int64)
+        pi_ = pf["ion_number"].to_numpy(np.int64)
+        pl = pf["level_number"].to_numpy(np.int64)
+        pnu = pf["nu"].to_numpy(np.float64)
+        pxs = pf["x_sect"].to_numpy(np.float64)
+        # group rows by (z, ion, level); rows within a block are the
+        # ascending frequency grid of that continuum
+        gkey = (pz << 40) | (pi_ << 20) | pl
+        # stable order preserves each block's frequency grid ordering
+        gorder = np.argsort(gkey, kind="stable")
+        gk = gkey[gorder]
+        starts = np.concatenate(
+            [[0], np.nonzero(np.diff(gk))[0] + 1, [len(gk)]]
+        )
+        blocks = []
+        for b in range(len(starts) - 1):
+            rows = gorder[starts[b] : starts[b + 1]]
+            nus = pnu[rows]
+            srt = np.argsort(nus)
+            rows = rows[srt]
+            blocks.append(
+                (pnu[rows[0]], pz[rows[0]], pi_[rows[0]], pl[rows[0]],
+                 rows)
+            )
+        blocks.sort(key=lambda r: -r[0])  # threshold descending
+        refs = np.zeros(len(blocks) + 1, np.int32)
+        np.cumsum([len(b[4]) for b in blocks], out=refs[1:])
+        photo_ion = PhotoIonizationData(
+            cont_z=np.array([b[1] for b in blocks], np.int64),
+            cont_ion=np.array([b[2] for b in blocks], np.int64),
+            cont_level=np.array([b[3] for b in blocks], np.int64),
+            level_flat_idx=flat_idx(
+                np.array([b[1] for b in blocks], np.int64),
+                np.array([b[2] for b in blocks], np.int64),
+                np.array([b[3] for b in blocks], np.int64),
+            ),
+            block_references=refs,
+            nu=np.concatenate([pnu[b[4]] for b in blocks]),
+            x_sect=np.concatenate([pxs[b[4]] for b in blocks]),
+        )
+
+    # --- two-photon decay data (A_ul, nu0, NS84 alpha/beta/gamma)
+    two_photon = None
+    if two_ph is not None:
+        from tardis_tpu.atomic.atom_data import TwoPhotonData
+
+        tf = two_ph.reset_index()
+        two_photon = TwoPhotonData(
+            z=tf["atomic_number"].to_numpy(np.int64),
+            ion=tf["ion_number"].to_numpy(np.int64),
+            level_lower=tf["level_number_lower"].to_numpy(np.int64),
+            level_upper=tf["level_number_upper"].to_numpy(np.int64),
+            A_ul=tf["A_ul"].to_numpy(np.float64),
+            nu0=tf["nu0"].to_numpy(np.float64),
+            alpha=tf["alpha"].to_numpy(np.float64),
+            beta=tf["beta"].to_numpy(np.float64),
+            gamma=tf["gamma"].to_numpy(np.float64),
+        )
+
     return AtomData(
         atomic_numbers=atomic_numbers,
         masses=masses,
@@ -148,9 +229,11 @@ def atom_data_from_hdf(path: str) -> AtomData:
         line_upper_idx=upper,
         line_z=lz,
         line_ion=li,
-        meta={"source": path},
+        meta={"source": path, **extra},
         zeta_data=zeta_data,
         collision=collision,
+        photo_ion=photo_ion,
+        two_photon=two_photon,
     )
 
 

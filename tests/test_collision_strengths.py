@@ -159,3 +159,107 @@ def test_hdf_roundtrip_collision(tmp_path):
         loaded.level_number[loaded.collision.lower_flat],
         atom.level_number[co.lower_flat],
     )
+
+
+def test_hdf_loader_photoionization_and_two_photon(tmp_path):
+    """carsus-layout photoionization_data and two_photon_data round-trip
+    through the h5py writer into the CSR PhotoIonizationData / TwoPhotonData
+    structures (reference AtomData carries both, io/atom_data/base.py:93-104)."""
+    import h5py
+    import pandas as pd
+
+    from tardis_tpu.atomic.hdf_loader import atom_data_from_hdf
+    from tardis_tpu.io.pandas_hdf_writer import write_frame, write_series
+
+    atom = make_synthetic_atom_data(
+        atomic_numbers=(1, 2), max_ion_stage=2, n_levels=4,
+        continuum_species=((1, 0),),
+    )
+    pi = atom.photo_ion
+    assert pi is not None
+    path = str(tmp_path / "atom_pi.h5")
+    lv = pd.DataFrame(
+        {
+            "atomic_number": atom.level_z,
+            "ion_number": atom.level_ion,
+            "level_number": atom.level_number,
+            "energy": atom.level_energy / 1.602176634e-12,
+            "g": atom.level_g,
+            "metastable": atom.level_meta,
+        }
+    )
+    ln = pd.DataFrame(
+        {
+            "atomic_number": atom.line_z,
+            "ion_number": atom.line_ion,
+            "level_number_lower": atom.level_number[atom.line_lower_idx],
+            "level_number_upper": atom.level_number[atom.line_upper_idx],
+            "nu": atom.line_nu,
+            "f_lu": atom.line_f_lu,
+        }
+    )
+    # carsus photoionization_data layout: one row per grid point
+    blocks = np.repeat(
+        np.arange(pi.n_continua), np.diff(pi.block_references)
+    )
+    pid = pd.DataFrame(
+        {
+            "atomic_number": pi.cont_z[blocks],
+            "ion_number": pi.cont_ion[blocks],
+            "level_number": pi.cont_level[blocks],
+            "nu": pi.nu,
+            "x_sect": pi.x_sect,
+        }
+    )
+    tp = atom.two_photon
+    tpd = pd.DataFrame(
+        {
+            "atomic_number": tp.z,
+            "ion_number": tp.ion,
+            "level_number_lower": tp.level_lower,
+            "level_number_upper": tp.level_upper,
+            "A_ul": tp.A_ul,
+            "nu0": tp.nu0,
+            "alpha": tp.alpha,
+            "beta": tp.beta,
+            "gamma": tp.gamma,
+        }
+    )
+    with h5py.File(path, "w") as f:
+        write_frame(
+            f, "/atom_data",
+            pd.DataFrame({"atomic_number": atom.atomic_numbers,
+                          "mass": atom.masses / 1.6605390666e-24}),
+        )
+        write_frame(
+            f, "/ionization_data",
+            pd.DataFrame({"atomic_number": atom.ionization_z,
+                          "ion_number": atom.ionization_ion,
+                          "ionization_energy":
+                              atom.ionization_energy / 1.602176634e-12}),
+        )
+        write_frame(f, "/levels_data", lv)
+        write_frame(f, "/lines_data", ln)
+        write_frame(f, "/photoionization_data", pid)
+        write_frame(f, "/two_photon_data", tpd)
+
+    loaded = atom_data_from_hdf(path)
+    lp = loaded.photo_ion
+    assert lp is not None and lp.n_continua == pi.n_continua
+    # threshold-descending continuum order preserved
+    thr = lp.nu[lp.block_references[:-1]]
+    assert np.all(np.diff(thr) <= 0)
+    np.testing.assert_allclose(np.sort(lp.nu), np.sort(pi.nu))
+    np.testing.assert_allclose(
+        lp.x_sect[lp.block_references[0]:lp.block_references[1]],
+        pi.x_sect[pi.block_references[0]:pi.block_references[1]],
+    )
+    # flat level indices resolve to the right (z, ion, level)
+    np.testing.assert_array_equal(
+        loaded.level_number[lp.level_flat_idx], lp.cont_level
+    )
+    ltp = loaded.two_photon
+    assert ltp is not None
+    np.testing.assert_allclose(ltp.A_ul, tp.A_ul)
+    np.testing.assert_allclose(ltp.nu0, tp.nu0)
+    np.testing.assert_allclose(ltp.gamma, tp.gamma)
