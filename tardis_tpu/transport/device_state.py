@@ -434,10 +434,18 @@ def _warm_device_readback(small_device_array):
     pays a 50-250 s initialization (measured on 32-byte arrays; later
     fetches are milliseconds).  Every transport run eventually reads back
     (tail repack, estimators), so trigger that init here during table
-    setup instead of inside the first timed transport call.
+    setup instead of inside the first timed transport call.  The fetch
+    runs on a daemon thread: it overlaps with compilation, and a wedged
+    transfer service degrades back to the old first-call stall instead of
+    blocking table setup.
     """
     global _READBACK_WARM
     if _READBACK_WARM:
         return
     _READBACK_WARM = True
-    np.asarray(small_device_array[:1])
+    import threading
+
+    x = small_device_array[:1]
+    threading.Thread(
+        target=lambda: np.asarray(x), daemon=True
+    ).start()
