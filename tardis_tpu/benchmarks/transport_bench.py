@@ -18,12 +18,15 @@ import time
 import numpy as np
 
 
-def build_problem(n_levels=250, max_level_jump=80, mode="scatter"):
+def build_problem(n_levels=250, max_level_jump=80, mode="scatter",
+                  mc_overrides=None):
     from tardis_tpu.atomic.synthetic import make_synthetic_atom_data
     from tardis_tpu.config.reader import config_from_dict
     from tardis_tpu.model.state import SimulationState
     from tardis_tpu.plasma.solver import PlasmaSolver
 
+    montecarlo = {"seed": 23111963, "no_of_packets": 1e5, "iterations": 1}
+    montecarlo.update(mc_overrides or {})
     config = config_from_dict(
         {
             "supernova": {
@@ -51,8 +54,7 @@ def build_problem(n_levels=250, max_level_jump=80, mode="scatter"):
                 },
             },
             "plasma": {"line_interaction_type": mode},
-            "montecarlo": {"seed": 23111963, "no_of_packets": 1e5,
-                           "iterations": 1},
+            "montecarlo": montecarlo,
             "spectrum": {"start": "500 angstrom", "stop": "20000 angstrom",
                          "num": 10000},
         }
@@ -155,6 +157,130 @@ def bench_transport(
     }
 
 
+# Irreducible LARGE-TABLE row gathers per kernel step in macroatom+chain
+# mode (no continuum, no tracking): pool-pack refill, tau_pack prefix,
+# packed-search levels 1 and 0, emitted line_nu, chain_cdf row, emit_cdf
+# row = 7.  These dominate the step budget on TPU, where ops execute
+# sequentially and each B-row gather from an HBM-resident table costs the
+# measured ~10-12 ns/row REGARDLESS of row width.  The remaining step ops
+# — small-table gathers that XLA lowers to vector selects (20-shell
+# chi_e/r tables, 128-row search level 2), the flat scatter-adds, VPU
+# arithmetic, and the threefry pass — measure below this budget's noise,
+# so the roofline is deliberately the tightest defensible bound:
+# n_steps * B * 7 * gather_ns.  fraction_of_roofline ~ 1 means the full
+# kernel costs no more than its irreducible gathers back-to-back.
+ROOFLINE_GATHERS = 7
+
+
+def measure_row_costs(batch=131072, n_steps=60):
+    """Measured unit costs of the kernel's two primitive row operations.
+
+    Returns (gather_ns_per_row, scatter_ns_per_update): the cost of one
+    dependent (B, 128)-row gather and one flat scalar scatter-add update
+    on this chip (probe_loop_ops2 patterns H and D).  The transport
+    kernel's roofline is  n_steps * B * (11 * gather + 6 * scatter).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    key = jax.random.key(7)
+    B = batch
+
+    def timeloop(body, init):
+        f = jax.jit(lambda: lax.fori_loop(0, n_steps, body, init))
+        jax.block_until_ready(f())  # compile
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            jax.block_until_ready(f())
+            best = min(best, time.time() - t0)
+        return best / n_steps / B * 1e9  # ns per lane per step
+
+    rows_tab = jax.random.normal(jax.random.fold_in(key, 1), (36000, 128))
+    gi0 = jax.random.randint(jax.random.fold_in(key, 2), (B,), 0, 36000)
+
+    def body_gather(i, c):
+        row = rows_tab[(gi0 + i) % 36000]
+        return c + jnp.sum(row, axis=1) * 1e-9
+
+    gather_ns = timeloop(body_gather, jnp.zeros((B,), jnp.float32))
+
+    M = 183061 * 20
+    sidx = jax.random.randint(jax.random.fold_in(key, 3), (2 * B,), 0, M)
+    svals = jax.random.normal(jax.random.fold_in(key, 4), (2 * B,))
+
+    def body_scatter(i, c):
+        return c.at[(sidx + i) % M].add(svals)
+
+    # 2B updates per step -> ns per single update
+    scatter_ns = timeloop(
+        body_scatter, jnp.zeros((M,), jnp.float32)
+    ) / 2.0
+    return gather_ns, scatter_ns
+
+
+def bench_e2e(
+    n_packets=2_097_152,
+    n_iterations=3,
+    batch_size=131072,
+    n_levels=200,
+    max_level_jump=60,
+    mode="macroatom",
+):
+    """End-to-end convergence-loop benchmark (VERDICT r3 item 1).
+
+    Times full simulation iterations — plasma solve, macro-chain build,
+    table build, transport, estimator inversion, convergence update — on
+    the same problem as the kernel bench, after one untimed warm-up
+    iteration that pays all XLA compiles.  This is the number a production
+    run sees, not just the device kernel.
+    """
+    import jax
+
+    from tardis_tpu.simulation.base import Simulation
+
+    config, state, atom, plasma = build_problem(
+        n_levels, max_level_jump, mode,
+        mc_overrides={
+            "no_of_packets": n_packets,
+            "iterations": n_iterations + 2,
+            "last_no_of_packets": n_packets,
+            "batch_size": batch_size,
+            "tracking": {"track_last_interaction": False},
+        },
+    )
+    sim = Simulation.from_config(config, atom_data=atom)
+
+    # warm-up iteration: XLA compiles + axon readback init
+    sim._solve_plasma()
+    res = sim.iterate(n_packets, 0)
+    sim.advance_state(res, 0)
+
+    iterate_s = []
+    advance_s = []
+    t_all = time.time()
+    for it in range(1, n_iterations + 1):
+        ta = time.time()
+        res = sim.iterate(n_packets, it)
+        tb = time.time()
+        sim.advance_state(res, it)
+        tc = time.time()
+        iterate_s.append(tb - ta)
+        advance_s.append(tc - tb)
+    total = time.time() - t_all
+    return {
+        "n_packets_per_iteration": n_packets,
+        "n_iterations": n_iterations,
+        "e2e_total_s": total,
+        "e2e_s_per_iteration": total / n_iterations,
+        "iterate_s": iterate_s,  # transport + macro/table builds
+        "advance_s": advance_s,  # inversion + convergence + plasma solve
+        "e2e_packets_per_s": n_packets * n_iterations / total,
+        "platform": jax.devices()[0].platform,
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--packets", type=int, default=1_000_000)
@@ -164,6 +290,15 @@ def main():
     ap.add_argument("--mode", default="scatter")
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--chunk", type=int, default=2097152)
+    ap.add_argument(
+        "--e2e-iters", type=int, default=0,
+        help="also run an N-iteration end-to-end convergence-loop bench",
+    )
+    ap.add_argument(
+        "--roofline", action="store_true",
+        help="measure row-op unit costs and report the kernel's fraction "
+        "of the gather/scatter roofline",
+    )
     ap.add_argument(
         "--platform", default=None,
         help="force the jax platform (e.g. 'cpu'); FAILS if the resulting "
@@ -187,6 +322,29 @@ def main():
         repeats=args.repeats,
         chunk_size=args.chunk,
     )
+    if args.roofline:
+        gather_ns, scatter_ns = measure_row_costs(batch=args.batch)
+        step_ns_bound = ROOFLINE_GATHERS * gather_ns
+        roofline_s = out["n_steps"] * args.batch * step_ns_bound * 1e-9
+        out["roofline"] = {
+            "gather_ns_per_row": round(gather_ns, 2),
+            "scatter_ns_per_update": round(scatter_ns, 2),
+            "critical_gathers_per_step": ROOFLINE_GATHERS,
+            "roofline_time_s": round(roofline_s, 3),
+            "fraction_of_roofline": round(roofline_s / out["time_s"], 3),
+        }
+    if args.e2e_iters > 0:
+        out["e2e"] = bench_e2e(
+            n_packets=args.packets,
+            n_iterations=args.e2e_iters,
+            batch_size=args.batch,
+            n_levels=args.levels,
+            max_level_jump=args.jump,
+            mode=args.mode,
+        )
+        out["e2e"]["ratio_vs_kernel"] = round(
+            out["e2e"]["e2e_s_per_iteration"] / out["time_s"], 3
+        )
     if args.platform and out["platform"] != args.platform:
         raise SystemExit(
             f"requested platform {args.platform!r} but ran on "

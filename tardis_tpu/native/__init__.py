@@ -57,8 +57,6 @@ def _load():
     lib.tau_and_beta.argtypes = [
         f64p, f64p, f64p, ctypes.c_double, i64, i64, f64p, f64p,
     ]
-    lib.alias_rows.argtypes = [f64p, i64, i64, f32p, i32p]
-    lib.alias_rows_interleaved.argtypes = [f64p, i64, i64, f32p]
     lib.openmp_threads.restype = ctypes.c_int
     _lib = lib
     return lib
@@ -105,37 +103,6 @@ def macro_cum_probs(coef, line_idx, ttype, beta, jblue, stim, refs):
         T, M, S, out,
     )
     return out
-
-
-def alias_rows(p: np.ndarray):
-    """Walker alias tables for (R, M) row distributions.
-
-    Returns (prob (R, M) f32, alias (R, M) i32) or None when the native
-    library is unavailable (caller falls back to the numpy construction).
-    """
-    lib = _load()
-    if lib is None:
-        return None
-    p = np.ascontiguousarray(p, np.float64)
-    R, M = p.shape
-    prob = np.empty((R, M), np.float32)
-    alias = np.empty((R, M), np.int32)
-    lib.alias_rows(p, R, M, prob, alias)
-    return prob, alias
-
-
-def alias_rows_interleaved(p: np.ndarray, out: np.ndarray) -> bool:
-    """Alias tables written into a kernel-ready (R, M, 2) f32 buffer
-    [prob | alias-as-float], with clip + normalization folded in.
-    Returns False when the native library is unavailable."""
-    lib = _load()
-    if lib is None:
-        return False
-    p = np.ascontiguousarray(p, np.float64)
-    R, M = p.shape
-    assert out.shape == (R, M, 2) and out.dtype == np.float32
-    lib.alias_rows_interleaved(p, R, M, out)
-    return True
 
 
 def tau_and_beta(wl_flu, stim, n_lower, coeff_texp):

@@ -99,132 +99,6 @@ void tau_and_beta(const double* wl_flu, const double* stim,
   }
 }
 
-// Walker alias tables for a batch of row distributions (classic Vose,
-// one row per task).  p: (R, M) f64; writes prob (R, M) f32 and
-// alias (R, M) i32.  Rows with no mass become uniform.  This is the hot
-// host step of the absorbing-chain macro-atom build (R = S*M rows at
-// kurucz scale): the lockstep-numpy construction it replaces cost ~0.8 s
-// per (M, M) block; per-row C++ is ~100x faster and OpenMP-parallel.
-void alias_rows(const double* p, int64_t R, int64_t M,
-                float* prob, int32_t* alias) {
-#pragma omp parallel
-  {
-    double* q = new double[M];
-    int64_t* small_s = new int64_t[M];
-    int64_t* large_s = new int64_t[M];
-#pragma omp for schedule(static)
-    for (int64_t r = 0; r < R; ++r) {
-      const double* row = p + r * M;
-      float* prow = prob + r * M;
-      int32_t* arow = alias + r * M;
-      double tot = 0.0;
-      for (int64_t i = 0; i < M; ++i) tot += row[i];
-      if (tot <= 0.0) {
-        for (int64_t i = 0; i < M; ++i) {
-          q[i] = 1.0;
-        }
-      } else {
-        double scale = (double)M / tot;
-        for (int64_t i = 0; i < M; ++i) q[i] = row[i] * scale;
-      }
-      int64_t ns = 0, nl = 0;
-      for (int64_t i = 0; i < M; ++i) {
-        if (q[i] < 1.0) small_s[ns++] = i;
-        else large_s[nl++] = i;
-      }
-      while (ns > 0 && nl > 0) {
-        int64_t s = small_s[--ns];
-        int64_t l = large_s[nl - 1];
-        prow[s] = (float)q[s];
-        arow[s] = (int32_t)l;
-        q[l] -= (1.0 - q[s]);
-        if (q[l] < 1.0) {
-          --nl;
-          small_s[ns++] = l;
-        }
-      }
-      while (nl > 0) {
-        int64_t l = large_s[--nl];
-        prow[l] = 1.0f;
-        arow[l] = (int32_t)l;
-      }
-      while (ns > 0) {  // numerical leftovers
-        int64_t s = small_s[--ns];
-        prow[s] = 1.0f;
-        arow[s] = (int32_t)s;
-      }
-    }
-    delete[] q;
-    delete[] small_s;
-    delete[] large_s;
-  }
-}
-
-// Interleaved variant used by the absorbing-chain build: writes the
-// kernel-ready (R, M, 2) float32 layout [prob | alias-as-float] in one
-// pass, folding in the clip-to-nonnegative and row normalization that
-// the Python caller otherwise pays as separate (R, M) passes.  Rows with
-// no mass self-deactivate (prob 1, alias self).
-void alias_rows_interleaved(const double* p, int64_t R, int64_t M,
-                            float* out) {
-#pragma omp parallel
-  {
-    double* q = new double[M];
-    int64_t* small_s = new int64_t[M];
-    int64_t* large_s = new int64_t[M];
-#pragma omp for schedule(static)
-    for (int64_t r = 0; r < R; ++r) {
-      const double* row = p + r * M;
-      float* orow = out + r * M * 2;
-      double tot = 0.0;
-      for (int64_t i = 0; i < M; ++i) {
-        double v = row[i] > 0.0 ? row[i] : 0.0;
-        q[i] = v;
-        tot += v;
-      }
-      if (tot <= 0.0) {
-        // degenerate: self-deactivation
-        for (int64_t i = 0; i < M; ++i) {
-          orow[2 * i] = 1.0f;
-          orow[2 * i + 1] = (float)i;
-        }
-        continue;
-      }
-      double scale = (double)M / tot;
-      for (int64_t i = 0; i < M; ++i) q[i] *= scale;
-      int64_t ns = 0, nl = 0;
-      for (int64_t i = 0; i < M; ++i) {
-        if (q[i] < 1.0) small_s[ns++] = i;
-        else large_s[nl++] = i;
-      }
-      while (ns > 0 && nl > 0) {
-        int64_t s = small_s[--ns];
-        int64_t l = large_s[nl - 1];
-        orow[2 * s] = (float)q[s];
-        orow[2 * s + 1] = (float)l;
-        q[l] -= (1.0 - q[s]);
-        if (q[l] < 1.0) {
-          --nl;
-          small_s[ns++] = l;
-        }
-      }
-      while (nl > 0) {
-        int64_t l = large_s[--nl];
-        orow[2 * l] = 1.0f;
-        orow[2 * l + 1] = (float)l;
-      }
-      while (ns > 0) {
-        int64_t s = small_s[--ns];
-        orow[2 * s] = 1.0f;
-        orow[2 * s + 1] = (float)s;
-      }
-    }
-    delete[] q;
-    delete[] small_s;
-    delete[] large_s;
-  }
-}
-
 int openmp_threads() {
 #ifdef _OPENMP
   return omp_get_max_threads();

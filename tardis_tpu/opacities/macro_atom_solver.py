@@ -135,159 +135,310 @@ def solve_macro_state(
 # Round 3: both categorical draws use **Walker alias tables** instead of
 # 128-ary CDF row searches.  Measured XLA:TPU gather cost is ~10 ns per
 # gathered row regardless of width, so the alias method (ONE row gather per
-# draw: [prob, alias] resp. [prob, line_k, line_alias]) halves the chain's
-# gather count vs the two-level CDF search while sampling the identical
-# distribution (exact up to the same f32 rounding as the CDF tables).
+# draw) halves the chain's gather count vs the two-level CDF search while
+# sampling the identical distribution (exact up to the same f32 rounding as
+# the CDF tables).
 #
-# Q is block-diagonal over (atom, ion) groups (classic macro-atom has no
-# ionization channels), so the solve decomposes into small per-component
-# systems — done in f64 on the host.
-
-
-def build_alias_rows(p: np.ndarray):
-    """Walker alias tables for a batch of distributions.
-
-    p: (R, M) rows of probabilities (each row sums to ~1; rows are
-    renormalized defensively).  Returns (prob (R, M) f32, alias (R, M) i32):
-    sampling is  k = floor(u*M); j = k if frac(u*M) < prob[k] else alias[k].
-
-    One-pass construction: smalls (q < 1) consume surplus from larges in
-    index order; the assignment follows the cumulative-surplus boundaries
-    (vectorized searchsorted), which yields a valid exact table because
-    total deficit equals total surplus.
-    """
-    p = np.asarray(p, np.float64)
-    R, M = p.shape
-    # native per-row Vose (OpenMP; tardis_tpu/native host_pipeline.cpp
-    # alias_rows) — ~100x the lockstep-numpy construction below, which is
-    # kept as the transparent fallback
-    from tardis_tpu import native
-
-    nat = native.alias_rows(p)
-    if nat is not None:
-        return nat
-    tot = p.sum(axis=1, keepdims=True)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        p = np.where(tot > 0, p / tot, 1.0 / M)
-    q = p * M  # working copy, mutated below
-    prob = np.ones((R, M), np.float64)
-    alias = np.broadcast_to(np.arange(M, dtype=np.int32), (R, M)).copy()
-
-    # Vose's algorithm run in LOCKSTEP across all rows: every iteration
-    # pairs each active row's next small with its next large; larges whose
-    # surplus drops below 1 are re-queued as smalls (that re-classification
-    # is what makes the table exact).  Buffers are rings of capacity 2M
-    # (each entry is enqueued as small at most once plus once as a demoted
-    # large).  Leftover entries keep prob 1 / alias self.
-    cap = 2 * M
-    small_buf = np.zeros((R, cap), np.int64)
-    large_buf = np.zeros((R, M), np.int64)
-    sc = np.zeros(R, np.int64)  # small count (enqueued)
-    lc = np.zeros(R, np.int64)
-    is_small = q < 1.0
-    sc[:] = is_small.sum(axis=1)
-    lc[:] = M - sc
-    # fill initial queues (stable index order)
-    idx = np.broadcast_to(np.arange(M), (R, M))
-    order = np.argsort(~is_small, axis=1, kind="stable")  # smalls first
-    sorted_idx = np.take_along_axis(idx, order, axis=1)
-    for r in range(R):  # cheap: pure slicing
-        small_buf[r, : sc[r]] = sorted_idx[r, : sc[r]]
-        large_buf[r, : lc[r]] = sorted_idx[r, sc[r] :]
-    sp = np.zeros(R, np.int64)
-    lp = np.zeros(R, np.int64)
-    rows = np.arange(R)
-    while True:
-        active = (sp < sc) & (lp < lc)
-        if not active.any():
-            break
-        ra = rows[active]
-        s = small_buf[ra, sp[active]]
-        lg = large_buf[ra, lp[active]]
-        qs = q[ra, s]
-        prob[ra, s] = qs
-        alias[ra, s] = lg
-        q[ra, lg] -= 1.0 - qs
-        sp[active] += 1
-        demoted = q[ra, lg] < 1.0
-        rd = ra[demoted]
-        if len(rd):
-            small_buf[rd, sc[rd]] = lg[demoted]
-            sc[rd] += 1
-            lp[rd] += 1
-    return prob.astype(np.float32), alias
+# Round 4 (VERDICT r3 item 1): the ENTIRE per-iteration build moved onto the
+# device, and the alias tables were replaced by **component-local packed CDF
+# rows**.  The host used to spend >10x the transport-kernel time in numpy
+# (this host moves memory at ~200 MB/s) plus ~7 s/iteration of host<->device
+# transfers shipping alias tables.  Now one jitted XLA program does the
+# probability build + normalization (segment-sums), Q assembly, the batched
+# f32 LU absorbing solves over per-component blocks, and emits the sampling
+# tables DEVICE-RESIDENT:
+#
+# - chain_cdf (S*M, W+1):  [cdf over the component's W local slots | base],
+#   where W = largest component and base the component's first level id.
+#   Q is block-diagonal over (atom, ion) groups (classic macro-atom has no
+#   ionization channels); weak connected components are merged into
+#   contiguous level-id ranges so the kernel recovers the global absorbing
+#   state as base + count(cdf < u) -- ONE row gather + a VPU row-count,
+#   no alias construction, no transfers.
+# - emit_cdf (S*M, 2*We):  [cdf over the level's emission block | line ids],
+#   emitted line extracted in-row by one-hot reduction.
+#
+# Components are padded to power-of-two buckets, one batched LU per bucket
+# over (shell x component).  Cost model: a gathered row costs ~10 ns
+# LATENCY regardless of width (probe_loop_ops2), and the extra row width
+# (W+1 vs the alias rows' 3) adds only bandwidth: (W+1)*4 B * B lanes
+# ~ 100 MB/step at W=200 ~ 0.1 ms -- far below the ~7 s/iteration of
+# host work + transfers the alias design cost.
 
 
 @dataclass
 class MacroChainState:
-    """Kernel-ready absorbing-chain macro-atom tables (alias form)."""
+    """Kernel-ready absorbing-chain macro-atom tables (device-resident).
+
+    ``chain_cdf``/``emit_cdf`` are jax device arrays built on-accelerator;
+    ``emit_block_start``/``emit_line`` are small host-side copies of the
+    static emission-block structure for analysis code and tests.
+    """
 
     n_states: int  # M
-    emit_total: int  # E (emission entries incl. per-level dummies)
-    # absorbing-state alias table (None for downbranch)
-    chain_alias: np.ndarray | None  # (S*M*M, 2) f32 [prob, alias_state]
-    # emission alias rows: (S*E, 3) f32 [prob, line_k, line_alias]
-    emit_alias: np.ndarray
-    emit_info: np.ndarray  # (M, 2) f32 [block start e0, block length n]
-    emit_block_start: np.ndarray  # (M+1,) i32 (host-side consumers/tests)
-    emit_line: np.ndarray  # (E,) i32
-    line2macro: np.ndarray = None  # (L,) i32 activation map
+    chain_width: int  # W (0 for downbranch)
+    emit_width: int  # We (longest emission block)
+    chain_cdf: object | None  # (S*M, W+1) f32 [cdf | base] (None: downbranch)
+    emit_cdf: object  # (S*M, 2*We) f32 [cdf | line ids]
+    line2macro: np.ndarray  # (L,) i32 activation map
+    emit_block_start: np.ndarray  # (M+1,) i32
+    emit_line: np.ndarray  # (E0,) i32
 
 
-def _emission_tables(e_src, e_line, e_p, M, S):
-    """Per-(shell, level) emission alias tables.
+class _ChainContext:
+    """Static per-(macro-table, mode) structure for the device chain build.
 
-    e_src sorted ascending; e_p (E, S) unnormalized within-block emission
-    probabilities.  Returns dict of arrays for MacroChainState.
+    Everything here depends only on the SPARSITY of the transition table
+    (which transitions exist, their source/destination levels, the merged
+    connected components of the internal graph, the emission-block layout)
+    — not on the per-iteration plasma state — so it is built once, cached
+    on the MacroAtomData, and closed over by one jitted XLA program.
     """
-    e_start = np.searchsorted(e_src, np.arange(M + 1)).astype(np.int64)
-    elen = np.diff(e_start)
 
-    # guarantee a nonempty block per level: dummy self-entry (never hit when
-    # real emissions exist since those rows keep total mass)
-    if (elen == 0).any():
-        missing = np.nonzero(elen == 0)[0]
-        e_src = np.concatenate([e_src, missing])
-        e_line = np.concatenate([e_line, np.zeros(len(missing), np.int64)])
-        e_p = np.concatenate([e_p, np.ones((len(missing), S))])
-        order = np.argsort(e_src, kind="stable")
-        e_src, e_line, e_p = e_src[order], e_line[order], e_p[order]
+    def __init__(self, macro: MacroAtomData, mode: str):
+        import jax.numpy as jnp
+
+        refs = macro.block_references.astype(np.int64)
+        M = len(refs) - 1
+        self.M = M
+        ttype = macro.transition_type
+        src = np.repeat(np.arange(M), np.diff(refs))
+        emit_mask = ttype < 0
+
+        self.coef_d = jnp.asarray(macro.coef, jnp.float32)
+        self.line_idx_d = jnp.asarray(macro.transition_line_id, jnp.int32)
+        self.up_d = jnp.asarray(ttype == MACRO_INTERNAL_UP)
+        self.block_of_d = jnp.asarray(src, jnp.int32)
+
+        # emission-block structure (dense (M, We) layout; blocks are
+        # contiguous in the CSR table so within-block slots are offsets)
+        e_idx = np.nonzero(emit_mask)[0]
+        self.emit_idx_d = jnp.asarray(e_idx, jnp.int32)
+        e_src = src[e_idx]
+        e_line = macro.transition_line_id[e_idx].astype(np.int64)
         e_start = np.searchsorted(e_src, np.arange(M + 1)).astype(np.int64)
+        self.emit_block_start = e_start.astype(np.int32)
+        self.emit_line = e_line.astype(np.int32)
+        self.e_src_d = jnp.asarray(e_src, jnp.int32)
         elen = np.diff(e_start)
+        We = int(max(int(elen.max()) if len(elen) else 1, 1))
+        self.We = We
+        slot = np.arange(len(e_src)) - e_start[e_src]
+        self.e_slot_d = jnp.asarray(e_src * We + slot, jnp.int32)
+        line_dense = np.zeros((M, We), np.float32)
+        line_dense[e_src, slot] = e_line.astype(np.float32)
+        self.line_dense_d = jnp.asarray(line_dense)
 
-    E = len(e_src)
-    emit_alias = np.zeros((S, E, 3), np.float32)
-    # batch the alias builds over levels with EQUAL block length (one
-    # vectorized build per distinct length instead of one per level)
-    for n in np.unique(elen):
-        lvls = np.nonzero(elen == n)[0]
-        starts = e_start[lvls]  # (G,)
-        cols = starts[:, None] + np.arange(n)[None, :]  # (G, n)
-        block_p = e_p[cols]  # (G, n, S)
-        flat_p = np.moveaxis(block_p, 2, 1).reshape(-1, n)  # (G*S, n)
-        prob, alias = build_alias_rows(flat_p)
-        prob = prob.reshape(len(lvls), S, n)
-        alias = alias.reshape(len(lvls), S, n)
-        lines_blk = e_line[cols].astype(np.float32)  # (G, n)
-        alias_lines = np.take_along_axis(
-            lines_blk[:, None, :].repeat(S, axis=1), alias, axis=2
+        if mode == "downbranch":
+            self.W = 0
+            self.buckets = []
+            return
+
+        # contiguous block-diagonal components: weak connected components
+        # of the internal-transition graph, with overlapping level-id
+        # ranges merged so each component is a contiguous [base, base+size)
+        # interval (unions of disconnected components stay closed under
+        # transitions, so block-diagonality is preserved; contiguity lets
+        # the kernel recover the global state as base + local slot)
+        from scipy.sparse import coo_matrix
+        from scipy.sparse.csgraph import connected_components
+
+        i_idx = np.nonzero(~emit_mask)[0]
+        i_src = src[i_idx]
+        i_dest = macro.destination_level_id[i_idx].astype(np.int64)
+        g = coo_matrix(
+            (np.ones(len(i_src)), (i_src, i_dest)), shape=(M, M)
         )
-        for gi, j in enumerate(lvls):
-            a, b = e_start[j], e_start[j + 1]
-            emit_alias[:, a:b, 0] = prob[gi]
-            emit_alias[:, a:b, 1] = lines_blk[gi][None, :]
-            emit_alias[:, a:b, 2] = alias_lines[gi]
+        n_comp, comp = connected_components(
+            g, directed=True, connection="weak"
+        )
+        clo = np.full(n_comp, M, np.int64)
+        chi = np.full(n_comp, -1, np.int64)
+        np.minimum.at(clo, comp, np.arange(M))
+        np.maximum.at(chi, comp, np.arange(M))
+        ranges = []
+        for c in np.argsort(clo):
+            if ranges and clo[c] <= ranges[-1][1]:
+                ranges[-1][1] = max(ranges[-1][1], chi[c])
+            else:
+                ranges.append([clo[c], chi[c]])
+        r_lo = np.array([r[0] for r in ranges], np.int64)
+        r_hi = np.array([r[1] for r in ranges], np.int64)
+        sizes = r_hi - r_lo + 1
+        self.W = int(sizes.max())
 
-    emit_info = np.stack(
-        [e_start[:-1].astype(np.float32), elen.astype(np.float32)], axis=1
+        base = np.zeros(M, np.int64)
+        for a, b in ranges:
+            base[a : b + 1] = a
+        self.base_d = jnp.asarray(base.astype(np.float32))
+        self.local_d = jnp.asarray(np.arange(M) - base, jnp.int32)
+
+        comp_of_level = (
+            np.searchsorted(r_lo, np.arange(M), side="right") - 1
+        )
+        edge_comp = comp_of_level[i_src]
+        pad_of = np.maximum(
+            2 ** np.ceil(np.log2(np.maximum(sizes, 1))).astype(np.int64), 8
+        )
+        self.buckets = []
+        for Wp in np.unique(pad_of):
+            comp_ids = np.nonzero(pad_of == Wp)[0]
+            pos_of = np.full(len(ranges), -1, np.int64)
+            pos_of[comp_ids] = np.arange(len(comp_ids))
+            esel = np.nonzero(pos_of[edge_comp] >= 0)[0]
+            seg = (
+                pos_of[edge_comp[esel]] * Wp
+                + (i_src[esel] - base[i_src[esel]])
+            ) * Wp + (i_dest[esel] - base[i_dest[esel]])
+            n_cb = len(comp_ids)
+            levels = np.concatenate(
+                [np.arange(r_lo[c], r_hi[c] + 1) for c in comp_ids]
+            )
+            lvl_pos = np.concatenate(
+                [
+                    np.full(int(sizes[c]), pos)
+                    for pos, c in enumerate(comp_ids)
+                ]
+            )
+            member_flat = np.zeros(n_cb * Wp, np.int64)
+            member_valid = np.zeros(n_cb * Wp, bool)
+            for pos, c in enumerate(comp_ids):
+                sz = int(sizes[c])
+                member_flat[pos * Wp : pos * Wp + sz] = np.arange(
+                    r_lo[c], r_hi[c] + 1
+                )
+                member_valid[pos * Wp : pos * Wp + sz] = True
+            self.buckets.append(
+                dict(
+                    Wp=int(Wp),
+                    n_cb=n_cb,
+                    i_idx_d=jnp.asarray(i_idx[esel], jnp.int32),
+                    seg_d=jnp.asarray(seg, jnp.int32),
+                    member_flat_d=jnp.asarray(member_flat, jnp.int32),
+                    member_valid_d=jnp.asarray(member_valid),
+                    levels_d=jnp.asarray(levels, jnp.int32),
+                    lvl_pos_d=jnp.asarray(lvl_pos, jnp.int32),
+                    lvl_local_d=jnp.asarray(
+                        levels - base[levels], jnp.int32
+                    ),
+                )
+            )
+
+
+def _chain_context(macro: MacroAtomData, mode: str) -> _ChainContext:
+    key = "_chain_ctx_" + mode
+    ctx = macro.__dict__.get(key)
+    if ctx is None:
+        ctx = _ChainContext(macro, mode)
+        import jax
+
+        # ONE jitted program per context: on the axon TPU stack each
+        # eagerly-dispatched op costs up to ~1 s of tunnel round-trip, so
+        # the whole per-iteration chain build traces into a single XLA
+        # executable (compiled once, reused every iteration)
+        ctx.jit_fn = jax.jit(
+            lambda beta, jb, stim: _device_chain_tables(
+                ctx, _device_p_norm(ctx, beta, jb, stim)
+            )
+        )
+        macro.__dict__[key] = ctx
+    return ctx
+
+
+def _device_p_norm(ctx, beta_d, jb_d, stim_d):
+    """Block-normalized transition probabilities on device -> (T, S) f32."""
+    import jax
+    import jax.numpy as jnp
+
+    p = ctx.coef_d[:, None] * beta_d[ctx.line_idx_d]
+    p = jnp.where(
+        ctx.up_d[:, None],
+        p * (stim_d[ctx.line_idx_d] * jb_d[ctx.line_idx_d]),
+        p,
     )
-    return dict(
-        emit_total=E,
-        emit_alias=emit_alias.reshape(S * E, 3),
-        emit_info=emit_info,
-        emit_block_start=e_start.astype(np.int32),
-        emit_line=e_line.astype(np.int32),
-    )
+    bsum = jax.ops.segment_sum(p, ctx.block_of_d, num_segments=ctx.M)
+    denom = bsum[ctx.block_of_d]
+    return jnp.where(denom > 0, p / denom, 0.0)
+
+
+def _device_chain_tables(ctx, p_norm):
+    """Device-resident sampling tables (chain_cdf, emit_cdf).
+
+    One batched f32 LU solve per size bucket:  B = (I - Q)^{-1} diag(d)
+    over (shell x component) blocks, then row-normalized inclusive CDFs.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    S = p_norm.shape[1]
+    M, We = ctx.M, ctx.We
+    e_p = p_norm[ctx.emit_idx_d]  # (E0, S)
+
+    # ---- emission CDF rows [cdf | line ids] ----
+    dense = jax.ops.segment_sum(
+        e_p, ctx.e_slot_d, num_segments=M * We
+    )  # (M*We, S)
+    dense = dense.reshape(M, We, S).transpose(2, 0, 1)  # (S, M, We)
+    cum = jnp.cumsum(dense, axis=2)
+    tot = cum[:, :, -1:]
+    ecdf = jnp.where(tot > 0, cum / tot, 1.0)
+    emit_cdf = jnp.concatenate(
+        [ecdf, jnp.broadcast_to(ctx.line_dense_d[None], ecdf.shape)],
+        axis=2,
+    ).reshape(S * M, 2 * We)
+
+    if ctx.W == 0:  # downbranch: no absorbing chain
+        return None, emit_cdf
+
+    # ---- absorbing-probability rows B[s, level, :W] ----
+    deact = jax.ops.segment_sum(
+        e_p, ctx.e_src_d, num_segments=M
+    )  # (M, S)
+    W = ctx.W
+    rows = jnp.zeros((S, M, W), jnp.float32)
+    for b in ctx.buckets:
+        Wp, n_cb = b["Wp"], b["n_cb"]
+        p_int = p_norm[b["i_idx_d"]]  # (Tb, S)
+        Q = jax.ops.segment_sum(
+            p_int, b["seg_d"], num_segments=n_cb * Wp * Wp
+        )
+        Q = (
+            Q.reshape(n_cb, Wp, Wp, S)
+            .transpose(3, 0, 1, 2)
+            .reshape(S * n_cb, Wp, Wp)
+        )
+        eye = jnp.eye(Wp, dtype=jnp.float32)
+        A = eye[None] - Q
+        d = deact[b["member_flat_d"]]  # (n_cb*Wp, S)
+        d = jnp.where(b["member_valid_d"][:, None], d, 0.0)
+        d = d.reshape(n_cb, Wp, S).transpose(2, 0, 1).reshape(S * n_cb, Wp)
+        B = jnp.linalg.solve(A, d[:, :, None] * eye[None])
+        Bl = B.reshape(S, n_cb, Wp, Wp)[
+            :, b["lvl_pos_d"], b["lvl_local_d"], :
+        ]  # (S, n_lb, Wp)
+        # pow2 padding can exceed the global row width W; the dropped
+        # columns are zero-mass padding
+        wc = min(Wp, W)
+        rows = rows.at[:, b["levels_d"], :wc].set(Bl[:, :, :wc])
+
+    rows = jnp.maximum(rows, 0.0)
+    rcum = jnp.cumsum(rows, axis=2)
+    rtot = rcum[:, :, -1:]
+    # degenerate rows (no reachable deactivation): step CDF at the level's
+    # own local slot -> self-deactivation, matching the walk fallback
+    fallback = (
+        jnp.arange(W, dtype=jnp.int32)[None, None, :]
+        >= ctx.local_d[None, :, None]
+    ).astype(jnp.float32)
+    ccdf = jnp.where(rtot > 0, rcum / rtot, fallback)
+    chain_cdf = jnp.concatenate(
+        [
+            ccdf,
+            jnp.broadcast_to(ctx.base_d[None, :, None], (S, M, 1)),
+        ],
+        axis=2,
+    ).reshape(S * M, W + 1)
+    return chain_cdf, emit_cdf
 
 
 def solve_macro_chain(
@@ -298,104 +449,42 @@ def solve_macro_chain(
     mode: str = "macroatom",
     max_chain_bytes: float = 6e9,
 ) -> MacroChainState | None:
-    """Build absorbing-chain alias sampling tables; None if the chain would
+    """Build device-resident absorbing-chain CDF tables; None if they would
     not fit within ``max_chain_bytes`` of device memory (caller falls back
-    to the RNG-walk kernel path)."""
-    p_norm = solve_transition_probabilities(
-        macro, beta_sobolev, j_blues, stim_factor
-    ).astype(np.float64)
-    refs = macro.block_references.astype(np.int64)
-    M = len(refs) - 1
-    S = p_norm.shape[1]
-    ttype = macro.transition_type
-    src = np.repeat(np.arange(M), np.diff(refs))
-    emit_mask = ttype < 0
+    to the RNG-walk kernel path).  The whole numerical pipeline runs as one
+    jitted XLA program on the accelerator — nothing is transferred back.
+    """
+    import jax.numpy as jnp
 
-    e_tabs = _emission_tables(
-        src[emit_mask],
-        macro.transition_line_id[emit_mask].astype(np.int64),
-        p_norm[emit_mask],
-        M,
-        S,
-    )
+    ctx = _chain_context(macro, mode)
+    M, W, We = ctx.M, ctx.W, ctx.We
+    S = beta_sobolev.shape[1]
 
-    l2m = macro.line2macro_level_upper.astype(np.int32)
-    if mode == "downbranch":
-        return MacroChainState(
-            n_states=M,
-            chain_alias=None,
-            line2macro=l2m,
-            **e_tabs,
+    if mode != "downbranch":
+        solve_bytes = (
+            max(
+                S * b["n_cb"] * b["Wp"] * b["Wp"] * 4.0 * 3
+                for b in ctx.buckets
+            )
+            if ctx.buckets
+            else 0.0
         )
+        table_bytes = S * M * (W + 1) * 4.0 + S * M * 2 * We * 4.0
+        if table_bytes + solve_bytes > max_chain_bytes:
+            return None  # fall back to the in-kernel walk
 
-    chain_bytes = S * M * M * 2 * 4.0
-    if chain_bytes > max_chain_bytes:
-        return None  # fall back to the in-kernel walk
-
-    # deactivation probability per (level, shell)
-    excl = np.zeros((p_norm.shape[0] + 1, S))
-    np.cumsum(np.where(emit_mask[:, None], p_norm, 0.0), axis=0, out=excl[1:])
-    deact = excl[refs[1:]] - excl[refs[:-1]]  # (M, S)
-
-    i_mask = ~emit_mask
-    i_src = src[i_mask]
-    i_dest = macro.destination_level_id[i_mask].astype(np.int64)
-    p_int = p_norm[i_mask]  # (Ti, S)
-
-    # connected components of the internal-transition graph -> small solves
-    from scipy.sparse import coo_matrix
-    from scipy.sparse.csgraph import connected_components
-
-    g = coo_matrix(
-        (np.ones(len(i_src)), (i_src, i_dest)), shape=(M, M)
+    chain_cdf, emit_cdf = ctx.jit_fn(
+        jnp.asarray(beta_sobolev, jnp.float32),
+        jnp.asarray(j_blues, jnp.float32),
+        jnp.asarray(stim_factor, jnp.float32),
     )
-    n_comp, comp = connected_components(g, directed=True, connection="weak")
-    members = [np.nonzero(comp == c)[0] for c in range(n_comp)]
-    # local index within component
-    local = np.zeros(M, np.int64)
-    for m in members:
-        local[m] = np.arange(len(m))
-    edge_comp = comp[i_src]
-
-    from tardis_tpu import native
-
-    use_native = native.available()
-    chain_alias = np.zeros((S, M, M, 2), np.float32)
-    for s in range(S):
-        B_s = np.zeros((M, M))
-        for c, m in enumerate(members):
-            mc = len(m)
-            sel = edge_comp == c
-            Q = np.zeros((mc, mc))
-            np.add.at(Q, (local[i_src[sel]], local[i_dest[sel]]),
-                      p_int[sel, s])
-            d = np.clip(deact[m, s], 0.0, None)
-            A = np.eye(mc) - Q
-            try:
-                Bc = np.linalg.solve(A, np.diag(d))
-            except np.linalg.LinAlgError:
-                Bc = np.diag(d)
-            B_s[np.ix_(m, m)] = Bc if use_native else np.clip(Bc, 0.0, None)
-        if use_native:
-            # clip + row normalization + alias build + interleaved f32
-            # write, all fused in one native pass (degenerate rows
-            # self-deactivate, matching the numpy fallback)
-            native.alias_rows_interleaved(B_s, chain_alias[s])
-            continue
-        row_tot = B_s.sum(axis=1, keepdims=True)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            B_s = np.where(row_tot > 0, B_s / row_tot, 0.0)
-        # degenerate rows (no mass anywhere): deactivate in place
-        dead = (row_tot[:, 0] <= 0)
-        if dead.any():
-            B_s[dead, dead] = 1.0
-        prob, alias = build_alias_rows(B_s)
-        chain_alias[s, :, :, 0] = prob
-        chain_alias[s, :, :, 1] = alias.astype(np.float32)
-
     return MacroChainState(
         n_states=M,
-        chain_alias=chain_alias.reshape(S * M * M, 2),
-        line2macro=l2m,
-        **e_tabs,
+        chain_width=W,
+        emit_width=We,
+        chain_cdf=chain_cdf,
+        emit_cdf=emit_cdf,
+        line2macro=macro.line2macro_level_upper.astype(np.int32),
+        emit_block_start=ctx.emit_block_start,
+        emit_line=ctx.emit_line,
     )

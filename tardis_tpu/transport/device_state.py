@@ -90,12 +90,11 @@ class TransportTables(NamedTuple):
     fb_cdf: jnp.ndarray = jnp.zeros(1, jnp.float32)  # (P*S,)
     fb_nu: jnp.ndarray = jnp.zeros(1, jnp.float32)  # (P,) scaled
     pion_block_start: jnp.ndarray = jnp.zeros(2, jnp.int32)  # (C+1,)
-    # ---- absorbing-chain macro-atom alias tables
-    # (opacities/macro_atom_solver.py solve_macro_chain); size-1 dummies
+    # ---- absorbing-chain macro-atom CDF rows (device-built;
+    # opacities/macro_atom_solver.py solve_macro_chain); size-1 dummies
     # when the walk path is used ----
-    chain_alias: jnp.ndarray = jnp.zeros((1, 2), jnp.float32)  # (S*M*M, 2)
-    emit_alias: jnp.ndarray = jnp.zeros((1, 3), jnp.float32)  # (S*E, 3)
-    emit_info: jnp.ndarray = jnp.zeros((1, 2), jnp.float32)  # (M, 2)
+    chain_cdf: jnp.ndarray = jnp.zeros((1, 2), jnp.float32)  # (S*M, W+1)
+    emit_cdf: jnp.ndarray = jnp.zeros((1, 2), jnp.float32)  # (S*M, 2*We)
     # two-photon decay emission: inverse-CDF frequency table in kernel nu
     # units (continuum_macro.two_photon_inv_cdf * nu0); size-1 dummy when
     # two-photon decay is disabled
@@ -146,11 +145,29 @@ class TransportStaticConfig(NamedTuple):
     # RNG walk with one row gather per draw; see solve_macro_chain) ----
     use_macro_chain: bool = False
     n_chain_states: int = 0  # M
-    emit_total: int = 0  # E (emission alias entries)
+    chain_width: int = 0  # W (component-local CDF row width)
+    emit_width: int = 0  # We (emission-block CDF row width)
     # two-photon decay emission channel active (continuum mode only;
     # reference MacroAtomTransitionType.TWO_PHOTON, macro_atom.py:30)
     enable_two_photon: bool = False
     n_two_photon_table: int = 0  # inverse-CDF table length
+
+
+def _tau_pack_impl(hi, lo):
+    return jnp.stack([hi.reshape(-1), lo.reshape(-1)], axis=1)
+
+
+_TAU_PACK_JIT = None
+
+
+def _tau_pack_jit(hi, lo):
+    """Jitted (hi|lo) interleave (eager dispatch costs ~1 s on axon)."""
+    global _TAU_PACK_JIT
+    if _TAU_PACK_JIT is None:
+        import jax
+
+        _TAU_PACK_JIT = jax.jit(_tau_pack_impl)
+    return _TAU_PACK_JIT(hi, lo)
 
 
 def build_continuum_grid(photo_ion, edge_eps: float = 1e-6):
@@ -216,13 +233,15 @@ def build_transport_tables(
     # pipeline when built (tardis_tpu/native), numpy fallback otherwise
     from tardis_tpu import native
     from tardis_tpu.transport.tiled_search import (
-        build_packed_pred_tables,
+        build_packed_pred_tables_device,
         build_tiled_table,
     )
 
     hi, lo = native.prefix_split(tau)
-    cum_f64 = np.zeros((S, L + 1), dtype=np.float64)
-    np.cumsum(tau.T, axis=1, out=cum_f64[:, 1:])
+    # ONE h2d transfer of the two-float prefix serves tau_cum_hi/lo,
+    # tau_pack, AND the packed-search tables (built on device, round 4)
+    hi_d = jnp.asarray(hi)
+    lo_d = jnp.asarray(lo)
 
     sigma = 1e-200 if disable_electron_scattering else SIGMA_THOMSON
     chi_e = (sigma * plasma_state.electron_densities * ct).astype(np.float32)
@@ -236,16 +255,15 @@ def build_transport_tables(
     chain_static = {}
     if macro_chain is not None:
         mc = macro_chain
-        chain_kw = dict(
-            emit_alias=jnp.asarray(mc.emit_alias),
-            emit_info=jnp.asarray(mc.emit_info),
-        )
-        if mc.chain_alias is not None:
-            chain_kw.update(chain_alias=jnp.asarray(mc.chain_alias))
+        # already device-resident (built on-accelerator by the chain solve)
+        chain_kw = dict(emit_cdf=mc.emit_cdf)
+        if mc.chain_cdf is not None:
+            chain_kw.update(chain_cdf=mc.chain_cdf)
         chain_static = dict(
             use_macro_chain=True,
             n_chain_states=mc.n_states,
-            emit_total=mc.emit_total,
+            chain_width=mc.chain_width,
+            emit_width=mc.emit_width,
         )
 
     if macro_state is not None:
@@ -380,12 +398,10 @@ def build_transport_tables(
         r_outer=jnp.asarray(geometry.r_outer / ct, jnp.float32),
         line_nu=jnp.asarray(line_nu_scaled),
         neg_line_nu=jnp.asarray(-line_nu_scaled),
-        tau_cum_hi=jnp.asarray(hi),
-        tau_cum_lo=jnp.asarray(lo),
+        tau_cum_hi=hi_d,
+        tau_cum_lo=lo_d,
         chi_e=jnp.asarray(chi_e),
-        tau_pack=jnp.asarray(
-            np.stack([hi.reshape(-1), lo.reshape(-1)], axis=1)
-        ),
+        tau_pack=_tau_pack_jit(hi_d, lo_d),
         shell_pack=jnp.asarray(shell_pack),
         macro_cum_prob=jnp.asarray(cum_prob, jnp.float32),
         macro_block_start=jnp.asarray(block_start, jnp.int32),
@@ -394,8 +410,8 @@ def build_transport_tables(
         macro_line=jnp.asarray(mline, jnp.int32),
         line2macro=jnp.asarray(line2macro, jnp.int32),
         neg_nu_tiled=build_tiled_table(-line_nu_scaled),
-        pred_packed=build_packed_pred_tables(
-            cum_f64, line_nu_scaled, aux=aux
+        pred_packed=build_packed_pred_tables_device(
+            hi_d, lo_d, line_nu_scaled, aux=aux
         ),
         **cont_kw,
         **chain_kw,

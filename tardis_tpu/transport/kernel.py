@@ -320,32 +320,35 @@ def _macro_walk(tables, static, level, fallback_line, shell, keys,
 
 def _chain_emission(tables, static, level, shell, u_row, u_acc1, u_deact,
                     u_acc2):
-    """Absorbing-chain macro-atom emission-line selection via alias rows.
+    """Absorbing-chain macro-atom emission-line selection via CDF rows.
 
     Exact replacement for the RNG walk (reference macro_atom.py:52-104):
-    the deactivating level j is drawn from the Walker alias table of the
-    absorbing-probability row B[shell, level, :], and the emitted line from
-    the alias table of level j's emission block — ONE row gather per draw
-    (tables built by opacities/macro_atom_solver.solve_macro_chain).
+    the deactivating level j is drawn by inverse-CDF over the
+    absorbing-probability row B[shell, level, :] (component-local width W,
+    global state recovered as base + slot), and the emitted line by
+    inverse-CDF over level j's emission block with in-row line-id
+    extraction — ONE row gather per draw, tables device-built by
+    opacities/macro_atom_solver.solve_macro_chain (round 4; u_acc1/u_acc2
+    are unused since the alias-accept draws were retired).
     """
     M = static.n_chain_states
-    E = static.emit_total
+    We = static.emit_width
 
     if static.line_interaction_mode == LINE_MACROATOM:
-        x = u_row * M
-        k = jnp.minimum(x.astype(I32), M - 1)
-        row = tables.chain_alias[(shell * M + level) * M + k]  # (B, 2)
-        j = jnp.where(u_acc1 < row[:, 0], k, row[:, 1].astype(I32))
+        W = static.chain_width
+        row = tables.chain_cdf[shell * M + level]  # (B, W+1)
+        k = jnp.sum(row[:, :W] < u_row[:, None], axis=1).astype(I32)
+        k = jnp.minimum(k, W - 1)
+        j = row[:, W].astype(I32) + k  # base + local slot
     else:  # downbranch: deactivate at the activated level
         j = level
 
-    info = tables.emit_info[j]  # (B, 2): [e0, n]
-    e0 = info[:, 0].astype(I32)
-    n = info[:, 1]
-    x2 = u_deact * n
-    k2 = jnp.clip(x2.astype(I32), 0, jnp.maximum(n.astype(I32) - 1, 0))
-    erow = tables.emit_alias[shell * E + e0 + k2]  # (B, 3)
-    em_line = jnp.where(u_acc2 < erow[:, 0], erow[:, 1], erow[:, 2])
+    erow = tables.emit_cdf[shell * M + j]  # (B, 2*We)
+    k2 = jnp.minimum(
+        jnp.sum(erow[:, :We] < u_deact[:, None], axis=1), We - 1
+    ).astype(I32)
+    sel = jnp.arange(We, dtype=I32)[None, :] == k2[:, None]
+    em_line = jnp.sum(jnp.where(sel, erow[:, We:], 0.0), axis=1)
     return em_line.astype(I32)
 
 

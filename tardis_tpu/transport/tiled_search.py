@@ -292,6 +292,103 @@ _jax.tree_util.register_pytree_node(
 )
 
 
+def build_packed_pred_tables_device(
+    hi,  # (S, L+1) f32 two-float hi prefix (device or host array)
+    lo,  # (S, L+1) f32 two-float lo parts
+    line_nu: np.ndarray,  # (L,) descending, kernel units, f32
+    aux: list | tuple = (),  # per-line f32-exact channels (e.g. line2macro)
+) -> PackedPredTables:
+    """Device-side packed-table construction (round 4), jit-compiled.
+
+    Builds bit-identical tables to the host path below, but with XLA
+    gathers/concats on the accelerator: the only host work is the one h2d
+    transfer of the (hi, lo) prefix arrays that the caller already needs
+    for ``tau_cum_hi/lo``.  At kurucz scale this replaces ~6 s of numpy
+    window/concat traffic (this host moves memory at ~200 MB/s) with
+    milliseconds of device time.  The whole build traces into ONE XLA
+    program (jit cache keyed by shapes): eager per-op dispatch costs ~1 s
+    of tunnel round-trip each on the axon TPU stack.
+    """
+    global _PACKED_JIT
+    if _PACKED_JIT is None:
+        import jax
+
+        _PACKED_JIT = jax.jit(_packed_pred_tables_impl)
+    return _PACKED_JIT(
+        jnp.asarray(hi),
+        jnp.asarray(lo),
+        jnp.asarray(line_nu, F32),
+        tuple(jnp.asarray(a, F32) for a in aux),
+    )
+
+
+_PACKED_JIT = None
+
+
+def _packed_pred_tables_impl(hi, lo, line_nu, aux):
+    S, Lp1 = hi.shape
+    L = Lp1 - 1
+    t0 = -(-max(L, 1) // STRIDE)
+    t1 = -(-t0 // STRIDE)
+    assert t1 <= TILE, "line list too large for 3-level packed search"
+
+    hi = jnp.asarray(hi)
+    lo = jnp.asarray(lo)
+    n_pos = t0 * STRIDE + TILE
+    pad = n_pos - L
+    c_hi = jnp.concatenate(
+        [hi[:, 1:], jnp.full((S, pad), jnp.inf, F32)], axis=1
+    )
+    c_lo = jnp.concatenate([lo[:, 1:], jnp.zeros((S, pad), F32)], axis=1)
+    nu_pad = jnp.concatenate(
+        [jnp.asarray(line_nu, F32), jnp.full(pad, -jnp.inf, F32)]
+    )
+    aux_pad = [
+        jnp.concatenate(
+            [jnp.asarray(a, F32), jnp.zeros(pad, F32)]
+        )
+        for a in aux
+    ]
+
+    # level-0 rows: row t covers entries t*127 .. t*127+127 (overlap 1)
+    win = (
+        (jnp.arange(t0, dtype=I32) * STRIDE)[:, None]
+        + jnp.arange(TILE, dtype=I32)[None, :]
+    )  # (T0, 128)
+    chw = c_hi[:, win]  # (S, T0, 128)
+    clw = c_lo[:, win]
+    blocks = [chw, clw, jnp.broadcast_to(nu_pad[win], chw.shape)]
+    for ap in aux_pad:
+        blocks.append(jnp.broadcast_to(ap[win], chw.shape))
+    lvl0 = jnp.concatenate(blocks, axis=2).reshape(S * t0, -1)
+
+    # level-1 rows: entry (u, k) samples line position (u*127 + k)*127
+    tsam = (
+        jnp.arange(t1, dtype=I32)[:, None] * STRIDE
+        + jnp.arange(TILE, dtype=I32)[None, :]
+    )
+    psam = jnp.minimum(tsam * STRIDE, n_pos - 1)
+    valid1 = tsam * STRIDE < n_pos
+    c1 = jnp.where(valid1[None], c_hi[:, psam], jnp.inf)  # (S, T1, 128)
+    nu1 = jnp.where(valid1, nu_pad[psam], -jnp.inf)
+    lvl1 = jnp.concatenate(
+        [c1, jnp.broadcast_to(nu1, c1.shape)], axis=2
+    ).reshape(S * t1, 2 * TILE)
+
+    # level-2: entry w samples line position w*127*127
+    p2s = jnp.minimum(
+        jnp.arange(TILE, dtype=I32) * (STRIDE * STRIDE), n_pos - 1
+    )
+    valid2 = jnp.arange(TILE) * (STRIDE * STRIDE) < n_pos
+    c2 = jnp.where(valid2[None], c_hi[:, p2s], jnp.inf)
+    nu2 = jnp.where(valid2, nu_pad[p2s], -jnp.inf)
+    lvl2 = jnp.concatenate([c2, jnp.broadcast_to(nu2, c2.shape)], axis=1)
+
+    return PackedPredTables(
+        lvl0=lvl0, lvl1=lvl1, lvl2=lvl2, t0=t0, t1=t1, n_aux=len(aux_pad)
+    )
+
+
 def build_packed_pred_tables(
     cum_f64: np.ndarray,  # (S, L+1) f64 inclusive prefix with leading 0
     line_nu: np.ndarray,  # (L,) descending, kernel units

@@ -17,11 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tardis_tpu.constants import C, DAY, M_U
-from tardis_tpu.energy_input.decay import (
-    M_NI56,
-    GammaPacketPool,
-    sample_gamma_packets,
-)
+from tardis_tpu.energy_input.decay import sample_gamma_packets
 from tardis_tpu.energy_input.gamma_kernel import (
     build_kn_table,
     gamma_step_transport,
@@ -38,27 +34,49 @@ class GammaRayResult:
     deposition: np.ndarray  # (T, S) erg deposited per step per shell
     escape_spectrum: np.ndarray  # (E,) erg per bin (time-integrated)
     escape_spectra_t: np.ndarray  # (T, E)
-    total_emitted: float  # erg
+    total_emitted: float  # erg (gamma sampled into packets + positron KE)
     total_escaped: float
     total_deposited: float
+    # positron kinetic energy deposited locally per (T, S) [erg]
+    # (reference energy_source.py:255); included in total_deposited
+    positron_deposition: np.ndarray = None
+    total_positron_energy: float = 0.0
 
 
 class TARDISHEWorkflow:
-    def __init__(self, sim_state, ni56_mass_fraction: np.ndarray | float,
-                 seed: int = 23111963):
-        """ni56_mass_fraction: per-shell (S,) or scalar."""
+    def __init__(self, sim_state, isotope_mass_fractions=None,
+                 seed: int = 23111963, ni56_mass_fraction=None):
+        """isotope_mass_fractions: {'Ni56': (S,) or scalar, 'Cr48': ...} —
+        arbitrary chains from model/decay._HALF_LIVES.  The legacy
+        ``ni56_mass_fraction`` keyword is equivalent to
+        ``{'Ni56': value}``."""
+        from tardis_tpu.energy_input.decay import (
+            isotope_numbers_from_fractions,
+        )
+
         self.state = sim_state
         S = sim_state.no_of_shells
-        frac = np.broadcast_to(
-            np.asarray(ni56_mass_fraction, dtype=np.float64), (S,)
-        )
-        # initial Ni56 numbers per shell at t=0 (mass at t_explosion scaled
-        # back: homologous mass is time-invariant)
+        if isotope_mass_fractions is None:
+            if ni56_mass_fraction is None:
+                raise ValueError("isotope_mass_fractions required")
+            isotope_mass_fractions = {"Ni56": ni56_mass_fraction}
+        elif not isinstance(isotope_mass_fractions, dict):
+            isotope_mass_fractions = {"Ni56": isotope_mass_fractions}
+        self.isotope_fractions = {
+            iso: np.broadcast_to(np.asarray(f, np.float64), (S,))
+            for iso, f in isotope_mass_fractions.items()
+        }
+        # initial nucleus counts per shell at t=0 (homologous mass is
+        # time-invariant)
         shell_mass = (
             sim_state.composition.density * sim_state.geometry.volume
         )
-        self.n_ni0 = frac * shell_mass / M_NI56
-        self.ni56_fraction = frac
+        self.isotope_numbers = isotope_numbers_from_fractions(
+            self.isotope_fractions, shell_mass
+        )
+        self.radioactive_fraction = sum(
+            self.isotope_fractions.values()
+        )
         self.seed = seed
 
     def run(
@@ -72,7 +90,7 @@ class TARDISHEWorkflow:
         state = self.state
         S = state.no_of_shells
         pool = sample_gamma_packets(
-            n_packets, self.n_ni0, t_start, t_end, seed=self.seed
+            n_packets, self.isotope_numbers, t_start, t_end, seed=self.seed
         )
         time_edges = np.logspace(
             np.log10(t_start), np.log10(t_end), n_time_steps + 1
@@ -87,7 +105,22 @@ class TARDISHEWorkflow:
         for i, z in enumerate(comp.atomic_numbers):
             if z >= 21:
                 iron += comp.mass_fractions[i]
-        iron = np.clip(iron + self.ni56_fraction, 0.0, 1.0)
+        iron = np.clip(iron + self.radioactive_fraction, 0.0, 1.0)
+
+        # positron kinetic energy deposited locally, binned onto the
+        # transport time grid (reference main_gamma_ray_loop.py:230-246 +
+        # energy_source.py:255): the sampler returns it per (shell,
+        # sampling bin); re-histogram onto the step edges
+        pos_dep = np.zeros((n_time_steps, S))
+        pe = pool.positron_energy  # (S, Bsrc)
+        src_edges = pool.time_bin_edges
+        src_mid = np.sqrt(src_edges[:-1] * src_edges[1:])
+        dest = np.clip(
+            np.searchsorted(time_edges, src_mid, side="right") - 1,
+            0, n_time_steps - 1,
+        )
+        for b in range(pe.shape[1]):
+            pos_dep[dest[b]] += pe[:, b]
 
         # per-packet state; packets activate in their birth time step
         v_inner = state.geometry.v_inner
@@ -113,11 +146,21 @@ class TARDISHEWorkflow:
 
         t_exp_model = state.time_explosion
         base_density = state.composition.density
-        base_ne = None
-        # electron density from full ionization approximation Z/2 per amu
-        # (the reference uses the plasma-iterated n_e map; for gamma
-        # transport the all-electrons Compton count matters: use Z/A ~ 0.5)
-        base_ne = base_density / (2.0 * M_U)
+        # ALL-electron density for Compton scattering from the actual
+        # composition: n_e = rho * sum_i X_i Z_i / (A_i m_u)  (the
+        # reference's electrons_per_cm3, gamma_ray_transport.py; gamma
+        # transport counts bound + free electrons).  A_i ~ 2 Z_i for the
+        # alpha-chain elements, so this reduces to rho/(2 m_u) only for
+        # them; H-rich or neutron-rich mixes differ
+        from tardis_tpu.atomic.atom_data import ATOMIC_MASSES
+
+        z_over_a = np.zeros(S)
+        for i, z in enumerate(comp.atomic_numbers):
+            a_i = (
+                ATOMIC_MASSES[z - 1] if z <= len(ATOMIC_MASSES) else 2.0 * z
+            )
+            z_over_a += comp.mass_fractions[i] * z / a_i
+        base_ne = base_density * z_over_a / M_U
 
         for ts in range(n_time_steps):
             t0, t1 = time_edges[ts], time_edges[ts + 1]
@@ -185,10 +228,12 @@ class TARDISHEWorkflow:
         return GammaRayResult(
             time_edges=time_edges,
             energy_bins_kev=ebins,
-            deposition=deposition,
+            deposition=deposition + pos_dep,
             escape_spectrum=escape_t.sum(axis=0),
             escape_spectra_t=escape_t,
-            total_emitted=pool.total_energy,
+            total_emitted=pool.total_energy + float(pos_dep.sum()),
             total_escaped=float(escape_t.sum()),
-            total_deposited=float(deposition.sum()),
+            total_deposited=float(deposition.sum() + pos_dep.sum()),
+            positron_deposition=pos_dep,
+            total_positron_energy=float(pos_dep.sum()),
         )

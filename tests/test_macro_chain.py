@@ -71,34 +71,33 @@ def test_chain_matches_analytic_distribution(problem):
     )
     S = ps.beta_sobolev.shape[1]
     M = mc.n_states
-    E = mc.emit_total
     # pick an activated level with internal structure
     level = int(macro.line2macro_level_upper[len(macro.line2macro_level_upper) // 2])
     shell = 3
-    # absorbing-state distribution implied by the alias rows:
-    # P(j) = (prob[k=j] + sum_{k: alias_k = j} (1 - prob_k)) / M
-    ca = mc.chain_alias.reshape(S, M, M, 2).astype(np.float64)
-    prob_row = ca[shell, level, :, 0]
-    alias_row = ca[shell, level, :, 1].astype(np.int64)
-    B_row = prob_row.copy()
-    np.add.at(B_row, alias_row, 1.0 - prob_row)
-    B_row /= M
+    # absorbing-state distribution implied by the component-local CDF row
+    # [cdf over W local slots | base]: P(base + k) = cdf[k] - cdf[k-1]
+    W = mc.chain_width
+    cc = np.asarray(mc.chain_cdf, np.float64).reshape(S, M, W + 1)
+    row = cc[shell, level]
+    base = int(row[W])
+    p_local = np.diff(np.concatenate([[0.0], row[:W]]))
+    B_row = np.zeros(M)
+    kmax = min(W, M - base)
+    B_row[base : base + kmax] = p_local[:kmax]
 
-    # emission distribution implied by the emission alias rows
-    es = mc.emit_block_start
-    ea = mc.emit_alias.reshape(S, E, 3).astype(np.float64)
+    # emission distribution implied by the emission CDF rows
+    # [cdf over We slots | line ids]
+    We = mc.emit_width
+    ec = np.asarray(mc.emit_cdf, np.float64).reshape(S, M, 2 * We)
     L = atom.n_lines
     dist_tables = np.zeros(L)
     for j in range(M):
         if B_row[j] <= 0:
             continue
-        e0, e1 = es[j], es[j + 1]
-        n = e1 - e0
-        blk = ea[shell, e0:e1]
-        np.add.at(dist_tables, blk[:, 1].astype(np.int64),
-                  B_row[j] * blk[:, 0] / n)
-        np.add.at(dist_tables, blk[:, 2].astype(np.int64),
-                  B_row[j] * (1.0 - blk[:, 0]) / n)
+        erow = ec[shell, j]
+        pe = np.diff(np.concatenate([[0.0], erow[:We]]))
+        lines = erow[We:].astype(np.int64)
+        np.add.at(dist_tables, lines, B_row[j] * pe)
     dist_tables /= dist_tables.sum()
 
     dist_exact = _brute_force_emission_dist(macro, p_norm, level, shell)
@@ -164,7 +163,7 @@ def test_chain_downbranch_mode(problem):
         ps.stimulated_emission_factor,
         mode="downbranch",
     )
-    assert mchain.chain_alias is None
+    assert mchain.chain_cdf is None
     N = 5000
     key = jax.random.key(np.uint32(9))
     pool_mu, pool_nu = sample_blackbody_packets(
