@@ -191,13 +191,20 @@ class _ChainContext:
     Everything here depends only on the SPARSITY of the transition table
     (which transitions exist, their source/destination levels, the merged
     connected components of the internal graph, the emission-block layout)
-    — not on the per-iteration plasma state — so it is built once, cached
-    on the MacroAtomData, and closed over by one jitted XLA program.
+    — not on the per-iteration plasma state — so it is built once and
+    cached on the MacroAtomData.
+
+    Layout matters for cold-start cost on the TPU tunnel: every device
+    array lives in the ``arrays`` pytree and is passed to the jitted build
+    as an ARGUMENT (closed-over jax arrays would be embedded in the traced
+    program as multi-MB constants — ~40 s of host tracing/hashing per
+    process), and dtype conversion happens in numpy before ONE
+    ``jax.device_put`` (an eager ``jnp.asarray`` with a dtype change
+    compiles a throwaway convert program per distinct shape, ~0.5 s each
+    on this stack).
     """
 
     def __init__(self, macro: MacroAtomData, mode: str):
-        import jax.numpy as jnp
-
         refs = macro.block_references.astype(np.int64)
         M = len(refs) - 1
         self.M = M
@@ -205,124 +212,133 @@ class _ChainContext:
         src = np.repeat(np.arange(M), np.diff(refs))
         emit_mask = ttype < 0
 
-        self.coef_d = jnp.asarray(macro.coef, jnp.float32)
-        self.line_idx_d = jnp.asarray(macro.transition_line_id, jnp.int32)
-        self.up_d = jnp.asarray(ttype == MACRO_INTERNAL_UP)
-        self.block_of_d = jnp.asarray(src, jnp.int32)
+        arrays = {
+            "coef": np.asarray(macro.coef, np.float32),
+            "line_idx": np.asarray(macro.transition_line_id, np.int32),
+            "up": np.asarray(ttype == MACRO_INTERNAL_UP),
+            "block_of": np.asarray(src, np.int32),
+        }
 
         # emission-block structure (dense (M, We) layout; blocks are
         # contiguous in the CSR table so within-block slots are offsets)
         e_idx = np.nonzero(emit_mask)[0]
-        self.emit_idx_d = jnp.asarray(e_idx, jnp.int32)
         e_src = src[e_idx]
         e_line = macro.transition_line_id[e_idx].astype(np.int64)
         e_start = np.searchsorted(e_src, np.arange(M + 1)).astype(np.int64)
         self.emit_block_start = e_start.astype(np.int32)
         self.emit_line = e_line.astype(np.int32)
-        self.e_src_d = jnp.asarray(e_src, jnp.int32)
         elen = np.diff(e_start)
         We = int(max(int(elen.max()) if len(elen) else 1, 1))
         self.We = We
         slot = np.arange(len(e_src)) - e_start[e_src]
-        self.e_slot_d = jnp.asarray(e_src * We + slot, jnp.int32)
         line_dense = np.zeros((M, We), np.float32)
         line_dense[e_src, slot] = e_line.astype(np.float32)
-        self.line_dense_d = jnp.asarray(line_dense)
+        arrays.update(
+            emit_idx=np.asarray(e_idx, np.int32),
+            e_src=np.asarray(e_src, np.int32),
+            e_slot=np.asarray(e_src * We + slot, np.int32),
+            line_dense=line_dense,
+        )
 
+        self.bucket_meta = []
         if mode == "downbranch":
             self.W = 0
-            self.buckets = []
-            return
+        else:
+            # contiguous block-diagonal components: weak connected
+            # components of the internal-transition graph, with overlapping
+            # level-id ranges merged so each component is a contiguous
+            # [base, base+size) interval (unions of disconnected components
+            # stay closed under transitions, so block-diagonality is
+            # preserved; contiguity lets the kernel recover the global
+            # state as base + local slot)
+            from scipy.sparse import coo_matrix
+            from scipy.sparse.csgraph import connected_components
 
-        # contiguous block-diagonal components: weak connected components
-        # of the internal-transition graph, with overlapping level-id
-        # ranges merged so each component is a contiguous [base, base+size)
-        # interval (unions of disconnected components stay closed under
-        # transitions, so block-diagonality is preserved; contiguity lets
-        # the kernel recover the global state as base + local slot)
-        from scipy.sparse import coo_matrix
-        from scipy.sparse.csgraph import connected_components
-
-        i_idx = np.nonzero(~emit_mask)[0]
-        i_src = src[i_idx]
-        i_dest = macro.destination_level_id[i_idx].astype(np.int64)
-        g = coo_matrix(
-            (np.ones(len(i_src)), (i_src, i_dest)), shape=(M, M)
-        )
-        n_comp, comp = connected_components(
-            g, directed=True, connection="weak"
-        )
-        clo = np.full(n_comp, M, np.int64)
-        chi = np.full(n_comp, -1, np.int64)
-        np.minimum.at(clo, comp, np.arange(M))
-        np.maximum.at(chi, comp, np.arange(M))
-        ranges = []
-        for c in np.argsort(clo):
-            if ranges and clo[c] <= ranges[-1][1]:
-                ranges[-1][1] = max(ranges[-1][1], chi[c])
-            else:
-                ranges.append([clo[c], chi[c]])
-        r_lo = np.array([r[0] for r in ranges], np.int64)
-        r_hi = np.array([r[1] for r in ranges], np.int64)
-        sizes = r_hi - r_lo + 1
-        self.W = int(sizes.max())
-
-        base = np.zeros(M, np.int64)
-        for a, b in ranges:
-            base[a : b + 1] = a
-        self.base_d = jnp.asarray(base.astype(np.float32))
-        self.local_d = jnp.asarray(np.arange(M) - base, jnp.int32)
-
-        comp_of_level = (
-            np.searchsorted(r_lo, np.arange(M), side="right") - 1
-        )
-        edge_comp = comp_of_level[i_src]
-        pad_of = np.maximum(
-            2 ** np.ceil(np.log2(np.maximum(sizes, 1))).astype(np.int64), 8
-        )
-        self.buckets = []
-        for Wp in np.unique(pad_of):
-            comp_ids = np.nonzero(pad_of == Wp)[0]
-            pos_of = np.full(len(ranges), -1, np.int64)
-            pos_of[comp_ids] = np.arange(len(comp_ids))
-            esel = np.nonzero(pos_of[edge_comp] >= 0)[0]
-            seg = (
-                pos_of[edge_comp[esel]] * Wp
-                + (i_src[esel] - base[i_src[esel]])
-            ) * Wp + (i_dest[esel] - base[i_dest[esel]])
-            n_cb = len(comp_ids)
-            levels = np.concatenate(
-                [np.arange(r_lo[c], r_hi[c] + 1) for c in comp_ids]
+            i_idx = np.nonzero(~emit_mask)[0]
+            i_src = src[i_idx]
+            i_dest = macro.destination_level_id[i_idx].astype(np.int64)
+            g = coo_matrix(
+                (np.ones(len(i_src)), (i_src, i_dest)), shape=(M, M)
             )
-            lvl_pos = np.concatenate(
-                [
-                    np.full(int(sizes[c]), pos)
-                    for pos, c in enumerate(comp_ids)
-                ]
+            n_comp, comp = connected_components(
+                g, directed=True, connection="weak"
             )
-            member_flat = np.zeros(n_cb * Wp, np.int64)
-            member_valid = np.zeros(n_cb * Wp, bool)
-            for pos, c in enumerate(comp_ids):
-                sz = int(sizes[c])
-                member_flat[pos * Wp : pos * Wp + sz] = np.arange(
-                    r_lo[c], r_hi[c] + 1
+            clo = np.full(n_comp, M, np.int64)
+            chi = np.full(n_comp, -1, np.int64)
+            np.minimum.at(clo, comp, np.arange(M))
+            np.maximum.at(chi, comp, np.arange(M))
+            ranges = []
+            for c in np.argsort(clo):
+                if ranges and clo[c] <= ranges[-1][1]:
+                    ranges[-1][1] = max(ranges[-1][1], chi[c])
+                else:
+                    ranges.append([clo[c], chi[c]])
+            r_lo = np.array([r[0] for r in ranges], np.int64)
+            r_hi = np.array([r[1] for r in ranges], np.int64)
+            sizes = r_hi - r_lo + 1
+            self.W = int(sizes.max())
+
+            base = np.zeros(M, np.int64)
+            for a, b in ranges:
+                base[a : b + 1] = a
+            arrays.update(
+                base=base.astype(np.float32),
+                local=(np.arange(M) - base).astype(np.int32),
+            )
+
+            comp_of_level = (
+                np.searchsorted(r_lo, np.arange(M), side="right") - 1
+            )
+            edge_comp = comp_of_level[i_src]
+            pad_of = np.maximum(
+                2
+                ** np.ceil(np.log2(np.maximum(sizes, 1))).astype(np.int64),
+                8,
+            )
+            for bi, Wp in enumerate(np.unique(pad_of)):
+                comp_ids = np.nonzero(pad_of == Wp)[0]
+                pos_of = np.full(len(ranges), -1, np.int64)
+                pos_of[comp_ids] = np.arange(len(comp_ids))
+                esel = np.nonzero(pos_of[edge_comp] >= 0)[0]
+                seg = (
+                    pos_of[edge_comp[esel]] * Wp
+                    + (i_src[esel] - base[i_src[esel]])
+                ) * Wp + (i_dest[esel] - base[i_dest[esel]])
+                n_cb = len(comp_ids)
+                levels = np.concatenate(
+                    [np.arange(r_lo[c], r_hi[c] + 1) for c in comp_ids]
                 )
-                member_valid[pos * Wp : pos * Wp + sz] = True
-            self.buckets.append(
-                dict(
-                    Wp=int(Wp),
-                    n_cb=n_cb,
-                    i_idx_d=jnp.asarray(i_idx[esel], jnp.int32),
-                    seg_d=jnp.asarray(seg, jnp.int32),
-                    member_flat_d=jnp.asarray(member_flat, jnp.int32),
-                    member_valid_d=jnp.asarray(member_valid),
-                    levels_d=jnp.asarray(levels, jnp.int32),
-                    lvl_pos_d=jnp.asarray(lvl_pos, jnp.int32),
-                    lvl_local_d=jnp.asarray(
-                        levels - base[levels], jnp.int32
-                    ),
+                lvl_pos = np.concatenate(
+                    [
+                        np.full(int(sizes[c]), pos)
+                        for pos, c in enumerate(comp_ids)
+                    ]
                 )
-            )
+                member_flat = np.zeros(n_cb * Wp, np.int64)
+                member_valid = np.zeros(n_cb * Wp, bool)
+                for pos, c in enumerate(comp_ids):
+                    sz = int(sizes[c])
+                    member_flat[pos * Wp : pos * Wp + sz] = np.arange(
+                        r_lo[c], r_hi[c] + 1
+                    )
+                    member_valid[pos * Wp : pos * Wp + sz] = True
+                self.bucket_meta.append(dict(Wp=int(Wp), n_cb=n_cb))
+                arrays[f"b{bi}_i_idx"] = np.asarray(i_idx[esel], np.int32)
+                arrays[f"b{bi}_seg"] = np.asarray(seg, np.int32)
+                arrays[f"b{bi}_member_flat"] = np.asarray(
+                    member_flat, np.int32
+                )
+                arrays[f"b{bi}_member_valid"] = member_valid
+                arrays[f"b{bi}_levels"] = np.asarray(levels, np.int32)
+                arrays[f"b{bi}_lvl_pos"] = np.asarray(lvl_pos, np.int32)
+                arrays[f"b{bi}_lvl_local"] = np.asarray(
+                    levels - base[levels], np.int32
+                )
+
+        import jax
+
+        # one batched transfer; no per-array convert programs
+        self.arrays = jax.device_put(arrays)
 
 
 def _chain_context(macro: MacroAtomData, mode: str) -> _ChainContext:
@@ -332,36 +348,36 @@ def _chain_context(macro: MacroAtomData, mode: str) -> _ChainContext:
         ctx = _ChainContext(macro, mode)
         import jax
 
-        # ONE jitted program per context: on the axon TPU stack each
-        # eagerly-dispatched op costs up to ~1 s of tunnel round-trip, so
-        # the whole per-iteration chain build traces into a single XLA
-        # executable (compiled once, reused every iteration)
+        # ONE jitted program per context (static structure in closure,
+        # all arrays as arguments): on the axon TPU stack each eagerly-
+        # dispatched op costs up to ~1 s of tunnel round-trip, so the
+        # whole per-iteration chain build traces into a single XLA
+        # executable (compiled once, persistent-cached across processes)
         ctx.jit_fn = jax.jit(
-            lambda beta, jb, stim: _device_chain_tables(
-                ctx, _device_p_norm(ctx, beta, jb, stim)
+            lambda arrays, beta, jb, stim: _device_chain_tables(
+                ctx, arrays, _device_p_norm(ctx, arrays, beta, jb, stim)
             )
         )
         macro.__dict__[key] = ctx
     return ctx
 
 
-def _device_p_norm(ctx, beta_d, jb_d, stim_d):
+def _device_p_norm(ctx, arrays, beta_d, jb_d, stim_d):
     """Block-normalized transition probabilities on device -> (T, S) f32."""
     import jax
     import jax.numpy as jnp
 
-    p = ctx.coef_d[:, None] * beta_d[ctx.line_idx_d]
+    li = arrays["line_idx"]
+    p = arrays["coef"][:, None] * beta_d[li]
     p = jnp.where(
-        ctx.up_d[:, None],
-        p * (stim_d[ctx.line_idx_d] * jb_d[ctx.line_idx_d]),
-        p,
+        arrays["up"][:, None], p * (stim_d[li] * jb_d[li]), p
     )
-    bsum = jax.ops.segment_sum(p, ctx.block_of_d, num_segments=ctx.M)
-    denom = bsum[ctx.block_of_d]
+    bsum = jax.ops.segment_sum(p, arrays["block_of"], num_segments=ctx.M)
+    denom = bsum[arrays["block_of"]]
     return jnp.where(denom > 0, p / denom, 0.0)
 
 
-def _device_chain_tables(ctx, p_norm):
+def _device_chain_tables(ctx, arrays, p_norm):
     """Device-resident sampling tables (chain_cdf, emit_cdf).
 
     One batched f32 LU solve per size bucket:  B = (I - Q)^{-1} diag(d)
@@ -372,18 +388,18 @@ def _device_chain_tables(ctx, p_norm):
 
     S = p_norm.shape[1]
     M, We = ctx.M, ctx.We
-    e_p = p_norm[ctx.emit_idx_d]  # (E0, S)
+    e_p = p_norm[arrays["emit_idx"]]  # (E0, S)
 
     # ---- emission CDF rows [cdf | line ids] ----
     dense = jax.ops.segment_sum(
-        e_p, ctx.e_slot_d, num_segments=M * We
+        e_p, arrays["e_slot"], num_segments=M * We
     )  # (M*We, S)
     dense = dense.reshape(M, We, S).transpose(2, 0, 1)  # (S, M, We)
     cum = jnp.cumsum(dense, axis=2)
     tot = cum[:, :, -1:]
     ecdf = jnp.where(tot > 0, cum / tot, 1.0)
     emit_cdf = jnp.concatenate(
-        [ecdf, jnp.broadcast_to(ctx.line_dense_d[None], ecdf.shape)],
+        [ecdf, jnp.broadcast_to(arrays["line_dense"][None], ecdf.shape)],
         axis=2,
     ).reshape(S * M, 2 * We)
 
@@ -392,15 +408,15 @@ def _device_chain_tables(ctx, p_norm):
 
     # ---- absorbing-probability rows B[s, level, :W] ----
     deact = jax.ops.segment_sum(
-        e_p, ctx.e_src_d, num_segments=M
+        e_p, arrays["e_src"], num_segments=M
     )  # (M, S)
     W = ctx.W
     rows = jnp.zeros((S, M, W), jnp.float32)
-    for b in ctx.buckets:
-        Wp, n_cb = b["Wp"], b["n_cb"]
-        p_int = p_norm[b["i_idx_d"]]  # (Tb, S)
+    for bi, meta in enumerate(ctx.bucket_meta):
+        Wp, n_cb = meta["Wp"], meta["n_cb"]
+        p_int = p_norm[arrays[f"b{bi}_i_idx"]]  # (Tb, S)
         Q = jax.ops.segment_sum(
-            p_int, b["seg_d"], num_segments=n_cb * Wp * Wp
+            p_int, arrays[f"b{bi}_seg"], num_segments=n_cb * Wp * Wp
         )
         Q = (
             Q.reshape(n_cb, Wp, Wp, S)
@@ -409,17 +425,17 @@ def _device_chain_tables(ctx, p_norm):
         )
         eye = jnp.eye(Wp, dtype=jnp.float32)
         A = eye[None] - Q
-        d = deact[b["member_flat_d"]]  # (n_cb*Wp, S)
-        d = jnp.where(b["member_valid_d"][:, None], d, 0.0)
+        d = deact[arrays[f"b{bi}_member_flat"]]  # (n_cb*Wp, S)
+        d = jnp.where(arrays[f"b{bi}_member_valid"][:, None], d, 0.0)
         d = d.reshape(n_cb, Wp, S).transpose(2, 0, 1).reshape(S * n_cb, Wp)
         B = jnp.linalg.solve(A, d[:, :, None] * eye[None])
         Bl = B.reshape(S, n_cb, Wp, Wp)[
-            :, b["lvl_pos_d"], b["lvl_local_d"], :
+            :, arrays[f"b{bi}_lvl_pos"], arrays[f"b{bi}_lvl_local"], :
         ]  # (S, n_lb, Wp)
         # pow2 padding can exceed the global row width W; the dropped
         # columns are zero-mass padding
         wc = min(Wp, W)
-        rows = rows.at[:, b["levels_d"], :wc].set(Bl[:, :, :wc])
+        rows = rows.at[:, arrays[f"b{bi}_levels"], :wc].set(Bl[:, :, :wc])
 
     rows = jnp.maximum(rows, 0.0)
     rcum = jnp.cumsum(rows, axis=2)
@@ -428,13 +444,13 @@ def _device_chain_tables(ctx, p_norm):
     # own local slot -> self-deactivation, matching the walk fallback
     fallback = (
         jnp.arange(W, dtype=jnp.int32)[None, None, :]
-        >= ctx.local_d[None, :, None]
+        >= arrays["local"][None, :, None]
     ).astype(jnp.float32)
     ccdf = jnp.where(rtot > 0, rcum / rtot, fallback)
     chain_cdf = jnp.concatenate(
         [
             ccdf,
-            jnp.broadcast_to(ctx.base_d[None, :, None], (S, M, 1)),
+            jnp.broadcast_to(arrays["base"][None, :, None], (S, M, 1)),
         ],
         axis=2,
     ).reshape(S * M, W + 1)
@@ -464,9 +480,9 @@ def solve_macro_chain(
         solve_bytes = (
             max(
                 S * b["n_cb"] * b["Wp"] * b["Wp"] * 4.0 * 3
-                for b in ctx.buckets
+                for b in ctx.bucket_meta
             )
-            if ctx.buckets
+            if ctx.bucket_meta
             else 0.0
         )
         table_bytes = S * M * (W + 1) * 4.0 + S * M * 2 * We * 4.0
@@ -474,9 +490,10 @@ def solve_macro_chain(
             return None  # fall back to the in-kernel walk
 
     chain_cdf, emit_cdf = ctx.jit_fn(
-        jnp.asarray(beta_sobolev, jnp.float32),
-        jnp.asarray(j_blues, jnp.float32),
-        jnp.asarray(stim_factor, jnp.float32),
+        ctx.arrays,
+        jnp.asarray(np.asarray(beta_sobolev, np.float32)),
+        jnp.asarray(np.asarray(j_blues, np.float32)),
+        jnp.asarray(np.asarray(stim_factor, np.float32)),
     )
     return MacroChainState(
         n_states=M,

@@ -227,6 +227,12 @@ class Simulation:
             n_packets=n_packets,
             seed=self.seed,
             iteration=iteration,
+            # the (L, S) line-estimator readback is only consumed by the
+            # 'detailed' radiative-rates mode during convergence; the
+            # final iteration (run_final) always materializes it
+            need_line_estimators=(
+                self.plasma_solver.radiative_rates_type == "detailed"
+            ),
         )
         self.last_transport_result = result
         return result

@@ -50,8 +50,13 @@ class TransportResult:
     # estimators (physical)
     j_estimator: np.ndarray  # (S,) erg cm
     nu_bar_estimator: np.ndarray  # (S,) erg cm Hz
-    j_blue_estimator: np.ndarray  # (L, S)
-    edot_lu_estimator: np.ndarray  # (L, S)
+    # per-line estimators: None during convergence iterations unless the
+    # radiative-rates mode needs them (the (L, S) readback costs ~2.5 s
+    # per iteration on this host and the default dilute-blackbody mode
+    # never reads them; the final iteration always materializes them for
+    # the formal integral / HDF export)
+    j_blue_estimator: np.ndarray | None  # (L, S)
+    edot_lu_estimator: np.ndarray | None  # (L, S)
     # full per-event tracker (None unless enabled): dict of (N, K) arrays
     rpacket_tracker: dict | None
     # last-interaction tracking (None unless enabled)
@@ -149,6 +154,7 @@ class TransportSolver:
         vpacket_spawn_nu_range: tuple | None = None,
         continuum_state=None,
         continuum_macro=None,
+        need_line_estimators: bool = True,
     ) -> TransportResult:
         geometry = sim_state.geometry
         ct = C * geometry.time_explosion
@@ -382,12 +388,14 @@ class TransportSolver:
             ),
             continuum_enabled=continuum_state is not None,
             vpackets=vpackets,
+            need_line_estimators=need_line_estimators,
         )
 
     # ------------------------------------------------------------------
     def _finalize(self, carry, sim_state, atom_data, n_packets,
                   virt_edges=None, virt_hist=None, full_relativity=None,
-                  continuum_enabled=False, vpackets=None) -> TransportResult:
+                  continuum_enabled=False, vpackets=None,
+                  need_line_estimators=True) -> TransportResult:
         """Convert kernel-unit estimators to physical cgs.
 
         Kernel units: length ct, frequency NU_UNIT, energy E0 = 1/N erg
@@ -403,20 +411,24 @@ class TransportSolver:
         est_j = carry.est_j_f64() * e0 * ct
         est_nubar = carry.est_nubar_f64() * e0 * ct * NU_UNIT
 
-        # difference-array -> per-line estimators
-        nu_scaled = atom_data.line_nu / NU_UNIT
-        line_diff = carry.line_diff_f64().reshape(L + 1, S, 2)
-        jb = np.cumsum(line_diff[:, :, 0], axis=0)[:L]
-        ed = np.cumsum(line_diff[:, :, 1], axis=0)[:L]
         if full_relativity is None:
             full_relativity = self.enable_full_relativity
-        if full_relativity:
-            # FR increments are line-independent (see kernel step 4)
-            j_blue = jb * (e0 / NU_UNIT)
-            edot = ed * e0
+        if need_line_estimators:
+            # difference-array -> per-line estimators
+            nu_scaled = atom_data.line_nu / NU_UNIT
+            line_diff = carry.line_diff_f64().reshape(L + 1, S, 2)
+            jb = np.cumsum(line_diff[:, :, 0], axis=0)[:L]
+            ed = np.cumsum(line_diff[:, :, 1], axis=0)[:L]
+            if full_relativity:
+                # FR increments are line-independent (see kernel step 4)
+                j_blue = jb * (e0 / NU_UNIT)
+                edot = ed * e0
+            else:
+                j_blue = jb * nu_scaled[:, None] * (e0 / NU_UNIT)
+                edot = ed * nu_scaled[:, None] * e0
         else:
-            j_blue = jb * nu_scaled[:, None] * (e0 / NU_UNIT)
-            edot = ed * nu_scaled[:, None] * e0
+            j_blue = None
+            edot = None
 
         rpacket_tracker = None
         if self.track_rpacket_length > 0:
@@ -671,6 +683,10 @@ def solve_radiation_field(
         4.0 * SIGMA_SB * t_rad**4 * dt * volume
     )
 
+    if result.j_blue_estimator is None:
+        # line estimators skipped (non-detailed radiative rates): the
+        # plasma's j_blues come from the dilute-Planck field instead
+        return t_rad, w, None
     norm = C * sim_state.time_explosion / (4.0 * np.pi * dt * volume)
     j_blues = result.j_blue_estimator * norm[None, :]
     planck = w[None, :] * intensity_black_body(
