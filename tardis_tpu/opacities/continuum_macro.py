@@ -44,6 +44,10 @@ EMIT_LINE = 0
 EMIT_BF = 1
 EMIT_FF = 2
 EMIT_TWO_PHOTON = 3  # reference MacroAtomTransitionType.TWO_PHOTON (-6)
+# adiabatic cooling: the k-packet's energy goes into expansion work and
+# the packet is destroyed (reference MacroAtomTransitionType.
+# ADIABATIC_COOLING (-4) + interaction_events.py:130 adiabatic_cooling)
+EMIT_ADIABATIC = 4
 
 
 @dataclass
@@ -64,6 +68,8 @@ class ContinuumMacroState:
     k_state: int
     # number of active two-photon deactivation channels (0 = disabled)
     n_two_photon: int = 0
+    # adiabatic-cooling channel active on the k-packet block
+    has_adiabatic: bool = False
 
 
 def two_photon_inv_cdf(alpha, beta, gamma, n=256, n_grid=8192):
@@ -128,6 +134,8 @@ def solve_continuum_macro_state(
     cont_state,
     j_blues: np.ndarray,  # (L, S)
     enable_two_photon: bool = False,
+    enable_adiabatic_cooling: bool = False,
+    time_explosion: float | None = None,
 ) -> ContinuumMacroState:
     """Assemble all channels, normalize per state, solve the absorbing chain.
 
@@ -268,6 +276,22 @@ def solve_continuum_macro_state(
             cont_state.coll_exc_cool_rate)
     add(np.full(pi.n_continua, k_state), i_states,
         cont_state.coll_ion_cool_rate)
+    # adiabatic cooling channel: C_adiabatic = 3 n_e k_B T_e / t_exp
+    # (reference iip_plasma/properties/continuum.py:1048-1062
+    # _calculate_adiabatic_cooling; config flag
+    # plasma.continuum_interaction.enable_adiabatic_cooling).  The packet
+    # is destroyed on selection — its energy becomes expansion work.
+    if enable_adiabatic_cooling:
+        if time_explosion is None:
+            raise ValueError(
+                "enable_adiabatic_cooling requires time_explosion"
+            )
+        from tardis_tpu.constants import K_B
+
+        c_adia = (
+            3.0 * n_e * K_B * cont_state.t_electrons / time_explosion
+        )
+        add(k_state, -1, c_adia[None, :], kind=EMIT_ADIABATIC, id_=-1)
 
     src = np.concatenate(srcs)
     dest = np.concatenate(dests)
@@ -367,4 +391,5 @@ def solve_continuum_macro_state(
         photo_ion_state=i_states.astype(np.int32),
         k_state=int(k_state),
         n_two_photon=n_two_photon,
+        has_adiabatic=enable_adiabatic_cooling,
     )

@@ -546,6 +546,8 @@ class ContinuumSolver:
         plasma_state,
         cont_state: ContinuumState,
         estimators: ContinuumEstimators,
+        adiabatic_cooling: bool = False,
+        time_explosion: float | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """(heating - cooling, fractional) per shell for the thermal balance.
 
@@ -553,6 +555,8 @@ class ContinuumSolver:
          reference iip_plasma/properties/continuum.py:1204-1340):
         heating = bf_heating + ff_heating + coll_ion_heating + coll_deexc
         cooling = fb + stim-recomb + ff + coll_ion + coll_exc
+        [+ adiabatic 3 n_e k_B T_e / t_exp when enabled
+         (_calculate_adiabatic_cooling, :1048-1062)]
         """
         t_e = cont_state.t_electrons
         n_e = cont_state.electron_densities
@@ -582,6 +586,14 @@ class ContinuumSolver:
         total_cooling = (
             fb_cooling + ff_cooling + coll_ion_cooling + coll_exc_cooling
         )
+        if adiabatic_cooling:
+            if time_explosion is None:
+                raise ValueError(
+                    "adiabatic_cooling requires time_explosion"
+                )
+            total_cooling = total_cooling + (
+                3.0 * n_e * K_B * t_e / time_explosion
+            )
         balance = total_heating - total_cooling
         with np.errstate(divide="ignore", invalid="ignore"):
             frac = balance / total_cooling

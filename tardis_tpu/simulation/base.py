@@ -25,7 +25,6 @@ from tardis_tpu.simulation.convergence import (
 )
 from tardis_tpu.spectrum.base import (
     Spectrum,
-    filtered_luminosity,
     frequency_grid,
     real_packet_spectrum,
 )
@@ -233,9 +232,22 @@ class Simulation:
             need_line_estimators=(
                 self.plasma_solver.radiative_rates_type == "detailed"
             ),
+            lum_nu_window=self._lum_nu_window(),
         )
         self.last_transport_result = result
         return result
+
+    def _lum_nu_window(self):
+        """(nu_min, nu_max) of the luminosity wavelength window [Hz]."""
+        from tardis_tpu.constants import C as C_LIGHT
+
+        lam_lo = self.lum_wavelength_start
+        lam_hi = self.lum_wavelength_end
+        nu_min = C_LIGHT / lam_hi if lam_hi > 0 and np.isfinite(
+            lam_hi
+        ) else 0.0
+        nu_max = C_LIGHT / lam_lo if lam_lo > 0 else np.inf
+        return nu_min, nu_max
 
     def advance_state(self, result: TransportResult, iteration: int) -> bool:
         """Invert estimators, check convergence, apply damped updates,
@@ -244,20 +256,11 @@ class Simulation:
             result, self.state, self.atom_data,
             w_epsilon=self.plasma_solver.w_epsilon,
         )
-        emitted = filtered_luminosity(
-            result.output_nu,
-            result.output_energy,
-            result.emitted_mask,
-            result.time_of_simulation,
-            self.lum_wavelength_start,
-            self.lum_wavelength_end,
-        )
-        reabsorbed = filtered_luminosity(
-            result.output_nu,
-            result.output_energy,
-            result.output_status == 2,
-            result.time_of_simulation,
-        )
+        # device-precomputed when the window matches (avoids the 2N-float
+        # readback during convergence); lazy host fallback otherwise
+        nu_min, nu_max = self._lum_nu_window()
+        emitted = result.emitted_luminosity(nu_min, nu_max)
+        reabsorbed = result.reabsorbed_luminosity()
         est_t_inner = self.state.t_inner * (
             emitted / self.state.luminosity_requested
         ) ** self.t_inner_update_exponent

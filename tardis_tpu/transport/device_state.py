@@ -151,6 +151,9 @@ class TransportStaticConfig(NamedTuple):
     # reference MacroAtomTransitionType.TWO_PHOTON, macro_atom.py:30)
     enable_two_photon: bool = False
     n_two_photon_table: int = 0  # inverse-CDF table length
+    # adiabatic-cooling deactivation channel (continuum mode only;
+    # reference MacroAtomTransitionType.ADIABATIC_COOLING)
+    enable_adiabatic_cooling: bool = False
 
 
 def _tau_pack_impl(hi, lo):
@@ -364,6 +367,7 @@ def build_transport_tables(
             k_state=cm.k_state,
             enable_two_photon=cm.n_two_photon > 0,
             n_two_photon_table=256 if cm.n_two_photon > 0 else 0,
+            enable_adiabatic_cooling=cm.has_adiabatic,
         )
 
     # per-line aux channel packed into the search's level-0 rows: the

@@ -901,6 +901,16 @@ def make_transport_step(
 
         absorbs = is_line | is_contproc
         interacts = is_escat | absorbs
+        # adiabatic-cooling deactivation: the macro-atom chain ended in
+        # expansion work — the packet is destroyed, its energy leaves the
+        # radiation field (reference interaction_events.py:130
+        # adiabatic_cooling -> PacketStatus.ADIABATIC_COOLING)
+        if static.enable_continuum and static.enable_adiabatic_cooling:
+            from tardis_tpu.opacities.continuum_macro import EMIT_ADIABATIC
+
+            is_adiab = absorbs & (em_kind == EMIT_ADIABATIC)
+        else:
+            is_adiab = jnp.zeros_like(absorbs)
         nu_pre_interaction = nu
         nu = jnp.where(is_escat, nu_escat, jnp.where(absorbs, nu_line_new, nu))
         energy = jnp.where(
@@ -983,9 +993,17 @@ def make_transport_step(
             vp_count = vp_count + jnp.sum(interacts.astype(I32))
 
         # ------------------------------------------------ 7. deaths
-        dying = emitted | reabsorbed
+        # adiabatic kills record status "reabsorbed" with ZERO energy: the
+        # energy went into expansion work, so it must appear in neither
+        # the emitted nor the reabsorbed luminosity (the reference gives
+        # these packets their own ADIABATIC_COOLING status and filters
+        # them from both sums)
+        dying = emitted | reabsorbed | is_adiab
         out_base = jnp.where(dying, pkt_row, n_out) * 2
-        nu_signed = jnp.where(emitted, nu, -nu)
+        nu_signed = jnp.where(
+            emitted, nu, jnp.where(is_adiab, -nu_pre_interaction, -nu)
+        )
+        out_energy = jnp.where(is_adiab, 0.0, energy)
         if _DISABLE_OUT_SCATTER:
             out_packed = carry.out_packed
         else:
@@ -993,7 +1011,7 @@ def make_transport_step(
             out_packed = carry.out_packed.at[
                 jnp.concatenate([out_base, out_base + 1])
             ].set(
-                jnp.concatenate([nu_signed, energy]), mode="drop"
+                jnp.concatenate([nu_signed, out_energy]), mode="drop"
             )
         alive = alive & ~dying
         event_idx = event_idx + 1

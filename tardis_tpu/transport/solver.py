@@ -41,12 +41,18 @@ from tardis_tpu.transport.source import sample_blackbody_packets
 
 @dataclass
 class TransportResult:
-    """Physical-unit transport outputs for one MC iteration."""
+    """Physical-unit transport outputs for one MC iteration.
 
-    # packet outputs
-    output_nu: np.ndarray  # (N,) Hz, lab frame at death
-    output_energy: np.ndarray  # (N,) erg
-    output_status: np.ndarray  # (N,) int8 (1 emitted, 2 reabsorbed)
+    The per-packet output arrays are LAZY: the raw signed-frequency buffer
+    stays on device until ``output_nu``/``output_energy``/``output_status``
+    is first touched (the convergence loop only needs the two filtered
+    luminosity scalars, which run_iteration computes on device — reading
+    2N floats back every iteration cost ~0.6 s at bench scale).
+    """
+
+    # packed device buffer: index 2*pkt + {0: signed nu (kernel units),
+    # 1: energy (packet units)}
+    _out_packed: object
     # estimators (physical)
     j_estimator: np.ndarray  # (S,) erg cm
     nu_bar_estimator: np.ndarray  # (S,) erg cm Hz
@@ -78,20 +84,85 @@ class TransportResult:
     # reference-named virt_packet_* arrays
     # (montecarlo_transport_state.py:33-44)
     vpackets: dict | None = None
+    # device-precomputed (emitted-in-window, reabsorbed) luminosities and
+    # the window they were computed for (None = not precomputed)
+    _lum_cache: tuple | None = None  # (nu_min, nu_max, emitted, reabsorbed)
+
+    def _materialize(self):
+        if not isinstance(self._out_packed, np.ndarray):
+            out = np.asarray(self._out_packed, dtype=np.float64)
+            nu_signed = out[0::2]
+            self._out_nu = np.abs(nu_signed) * NU_UNIT
+            self._out_energy = out[1::2] * (1.0 / self.n_packets)
+            self._out_status = np.where(
+                nu_signed > 0, 1, np.where(nu_signed < 0, 2, 0)
+            ).astype(np.int8)
+            self._out_packed = out
+
+    @property
+    def output_nu(self):
+        self._materialize()
+        return self._out_nu
+
+    @property
+    def output_energy(self):
+        self._materialize()
+        return self._out_energy
+
+    @property
+    def output_status(self):
+        self._materialize()
+        return self._out_status
 
     @property
     def emitted_mask(self):
         return self.output_status == STATUS_EMITTED
 
     def emitted_luminosity(self, nu_min=0.0, nu_max=np.inf) -> float:
-        m = self.emitted_mask & (self.output_nu >= nu_min) & (
-            self.output_nu <= nu_max
+        c = self._lum_cache
+        if c is not None and c[0] == nu_min and c[1] == nu_max:
+            return c[2]
+        # strict bounds, matching spectrum.base.filtered_luminosity
+        # (reference spectrum/luminosity.py:5)
+        m = self.emitted_mask & (self.output_nu > nu_min) & (
+            self.output_nu < nu_max
         )
         return float(self.output_energy[m].sum() / self.time_of_simulation)
 
     def reabsorbed_luminosity(self) -> float:
+        if self._lum_cache is not None:
+            return self._lum_cache[3]
         m = self.output_status == STATUS_REABSORBED
         return float(self.output_energy[m].sum() / self.time_of_simulation)
+
+
+_LUM_JIT = None
+
+
+def _device_luminosities(out_packed, nu_min_scaled, nu_max_scaled):
+    """(emitted-in-window, reabsorbed) energy sums from the packed output
+    buffer, on device (strict bounds, matching filtered_luminosity)."""
+    global _LUM_JIT
+    if _LUM_JIT is None:
+
+        def f(out, lo, hi):
+            nu_s = out[0::2]
+            e = out[1::2]
+            nu = jnp.abs(nu_s)
+            em = jnp.sum(
+                jnp.where((nu_s > 0) & (nu > lo) & (nu < hi), e, 0.0)
+            )
+            re_ = jnp.sum(jnp.where(nu_s < 0, e, 0.0))
+            return em, re_
+
+        _LUM_JIT = jax.jit(f)
+    return _LUM_JIT(
+        out_packed,
+        jnp.float32(nu_min_scaled),
+        jnp.float32(np.finfo(np.float32).max)
+        if not np.isfinite(nu_max_scaled)
+        else jnp.float32(nu_max_scaled),
+    )
 
 
 class TransportSolver:
@@ -155,6 +226,7 @@ class TransportSolver:
         continuum_state=None,
         continuum_macro=None,
         need_line_estimators: bool = True,
+        lum_nu_window: tuple | None = None,
     ) -> TransportResult:
         geometry = sim_state.geometry
         ct = C * geometry.time_explosion
@@ -389,13 +461,15 @@ class TransportSolver:
             continuum_enabled=continuum_state is not None,
             vpackets=vpackets,
             need_line_estimators=need_line_estimators,
+            lum_nu_window=lum_nu_window,
         )
 
     # ------------------------------------------------------------------
     def _finalize(self, carry, sim_state, atom_data, n_packets,
                   virt_edges=None, virt_hist=None, full_relativity=None,
                   continuum_enabled=False, vpackets=None,
-                  need_line_estimators=True) -> TransportResult:
+                  need_line_estimators=True,
+                  lum_nu_window=None) -> TransportResult:
         """Convert kernel-unit estimators to physical cgs.
 
         Kernel units: length ct, frequency NU_UNIT, energy E0 = 1/N erg
@@ -464,17 +538,26 @@ class TransportSolver:
                 carry, atom_data, sim_state, n_packets, time_of_simulation
             )
 
-        out = np.asarray(carry.out_packed, dtype=np.float64)
-        out_nu_signed = out[0::2]
+        lum_cache = None
+        if lum_nu_window is not None:
+            nu_min, nu_max = lum_nu_window
+            em, re_ = _device_luminosities(
+                carry.out_packed,
+                float(nu_min) / NU_UNIT,
+                (float(nu_max) / NU_UNIT if np.isfinite(nu_max)
+                 else np.inf),
+            )
+            dt = 1.0 / sim_state.luminosity_requested
+            lum_cache = (
+                float(nu_min), float(nu_max),
+                float(em) * e0 / dt, float(re_) * e0 / dt,
+            )
         return TransportResult(
             continuum=continuum,
             rpacket_tracker=rpacket_tracker,
             last_interaction=last_interaction,
-            output_nu=np.abs(out_nu_signed) * NU_UNIT,
-            output_energy=out[1::2] * e0,
-            output_status=np.where(
-                out_nu_signed > 0, 1, np.where(out_nu_signed < 0, 2, 0)
-            ).astype(np.int8),
+            _out_packed=carry.out_packed,
+            _lum_cache=lum_cache,
             j_estimator=est_j,
             nu_bar_estimator=est_nubar,
             j_blue_estimator=j_blue,

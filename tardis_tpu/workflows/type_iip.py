@@ -52,6 +52,12 @@ class TypeIIPWorkflow(SimpleTARDISWorkflow):
         )
         self.thermal_balance_max_nfev = thermal_balance_max_nfev
         self._damping = np.ones(S)
+        ci = sim.config.plasma.get("continuum_interaction", {})
+        # adiabatic k-packet cooling channel + thermal-balance term
+        # (reference enable_adiabatic_cooling, schemas/plasma.yml:89)
+        self.enable_adiabatic_cooling = bool(
+            ci.get("enable_adiabatic_cooling", False)
+        )
 
     # ------------------------------------------------------------------
     def solve_montecarlo(self, n_packets, iteration):
@@ -69,6 +75,8 @@ class TypeIIPWorkflow(SimpleTARDISWorkflow):
                     "enable_two_photon_decay", False
                 )
             ),
+            enable_adiabatic_cooling=self.enable_adiabatic_cooling,
+            time_explosion=sim.state.time_explosion,
         )
         result = sim.transport.run_iteration(
             sim.state,
@@ -147,7 +155,9 @@ class TypeIIPWorkflow(SimpleTARDISWorkflow):
                 ps, cs
             )
             _, frac_heat = self.cont_solver.heating_minus_cooling(
-                ps, cs, self.cont_estimators
+                ps, cs, self.cont_estimators,
+                adiabatic_cooling=self.enable_adiabatic_cooling,
+                time_explosion=sim.state.time_explosion,
             )
             res = np.empty(2 * S)
             with np.errstate(divide="ignore", invalid="ignore"):

@@ -275,6 +275,11 @@ def propagate_packet_iip(
         kind = int(T.d_kind[t])
         chan = int(T.d_id[t])
 
+        if kind == 4:  # adiabatic cooling: packet destroyed, energy
+            # becomes expansion work (zero-energy "reabsorbed" record,
+            # matching the kernel's death convention)
+            return 2, nu, 0.0, ests
+
         if kind == 0:  # line emission
             nu_cmf_em = T.line_nu[chan]
             next_line = chan + 1
