@@ -13,6 +13,7 @@ terminal-first TPU stack the colored stream handler plays that role.
 from __future__ import annotations
 
 import logging
+import logging.handlers
 import sys
 
 LOG_LEVELS = ("NOTSET", "DEBUG", "INFO", "WARNING", "ERROR", "CRITICAL")
@@ -75,6 +76,7 @@ class TARDISLogger:
     ):
         # config debug section wins over the argument (reference behavior:
         # logging_state resolves debug.log_level vs the function arg)
+        buffer_capacity = 1
         if config is not None:
             debug = (
                 config.get("debug", {}) if hasattr(config, "get") else {}
@@ -84,6 +86,13 @@ class TARDISLogger:
                 log_level = cfg_level
             if (debug or {}).get("specific_log_level") is not None:
                 specific_log_level = bool(debug["specific_log_level"])
+            # montecarlo.logger_buffer: records per flush (reference
+            # io/logger/logger.py async widget-handler buffering; here a
+            # MemoryHandler in front of the console stream)
+            mc = config.get("montecarlo", {}) if hasattr(
+                config, "get"
+            ) else {}
+            buffer_capacity = int((mc or {}).get("logger_buffer", 1))
         log_level = (log_level or DEFAULT_LOG_LEVEL).upper()
         if log_level not in LOG_LEVELS:
             raise ValueError(
@@ -96,6 +105,12 @@ class TARDISLogger:
             root.removeHandler(self._handler)
         handler = logging.StreamHandler()
         handler.setFormatter(ColoredFormatter())
+        if buffer_capacity > 1:
+            handler = logging.handlers.MemoryHandler(
+                capacity=buffer_capacity,
+                flushLevel=logging.ERROR,
+                target=handler,
+            )
         root.addHandler(handler)
         root.setLevel(numeric if numeric else logging.NOTSET)
         root.propagate = False

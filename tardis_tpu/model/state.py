@@ -78,39 +78,85 @@ class SimulationState:
             return cls._from_file_structure(structure, config)
         vel = structure.velocity
         edges = np.linspace(vel.start, vel.stop, vel.num + 1)
+        # density evaluated at the UNTRIMMED shell centres (the boundary
+        # masking below trims shells geometrically without changing their
+        # density, matching the reference's
+        # parse_geometry_configuration boundary handling)
+        v_mid_full = 0.5 * (edges[:-1] + edges[1:])
+        density_full = calculate_density(
+            structure.density, v_mid_full, config.supernova.time_explosion
+        )
+
+        # --- v_inner_boundary / v_outer_boundary masking (reference
+        # parse_geometry_configuration.py: shells outside the window are
+        # dropped; the partially-covered boundary shells are trimmed to
+        # the boundary velocity)
+        vib = structure.get("v_inner_boundary") or 0.0
+        vob = structure.get("v_outer_boundary") or np.inf
+        if vib > 0.0 or np.isfinite(vob):
+            if vib >= vob:
+                raise ValueError(
+                    "v_inner_boundary must be < v_outer_boundary"
+                )
+            keep = (edges[1:] > vib) & (edges[:-1] < vob)
+            if not keep.any():
+                raise ValueError(
+                    "no shells inside the v_inner/outer_boundary window"
+                )
+            idx = np.nonzero(keep)[0]
+            new_edges = np.concatenate(
+                [edges[idx[0] : idx[-1] + 2]]
+            ).copy()
+            new_edges[0] = max(new_edges[0], vib)
+            new_edges[-1] = min(new_edges[-1], vob)
+            edges = new_edges
+            density_full = density_full[keep]
+            keep_shells = keep
+        else:
+            keep_shells = np.ones(len(v_mid_full), bool)
+
         geometry = Radial1DGeometry.from_velocity_grid(
             edges, config.supernova.time_explosion
         )
-
-        density = calculate_density(
-            structure.density, geometry.v_middle, geometry.time_explosion
-        )
+        density = density_full
+        S = geometry.no_of_shells
 
         abund_cfg = dict(config.model.abundances)
         abund_type = abund_cfg.pop("type", "uniform")
-        if abund_type != "uniform":
-            raise NotImplementedError(
-                f"abundance type '{abund_type}' (only 'uniform' in config; "
-                "use CSVY models for per-shell abundances)"
+        if abund_type == "file":
+            elements, mass_fractions = cls._read_abundance_file(
+                abund_cfg, len(keep_shells), config
             )
-        elements = []
-        fractions = []
-        for sym, frac in abund_cfg.items():
-            z = SYMBOL_TO_Z.get(sym)
-            if z is None:
-                raise ValueError(f"Unknown element symbol '{sym}'")
-            elements.append(z)
-            fractions.append(float(frac))
-        order = np.argsort(elements)
-        elements = np.asarray(elements)[order]
-        fractions = np.asarray(fractions)[order]
-        norm = fractions.sum()
-        if not np.isclose(norm, 1.0, atol=1e-8):
-            fractions = fractions / norm
-        S = geometry.no_of_shells
+            mass_fractions = mass_fractions[:, keep_shells]
+        elif abund_type == "uniform":
+            elements = []
+            fractions = []
+            for sym, frac in abund_cfg.items():
+                if sym in ("filename", "filetype", "model_isotope_time_0"):
+                    continue
+                z = SYMBOL_TO_Z.get(sym)
+                if z is None:
+                    from tardis_tpu.model.decay import parse_isotope
+
+                    if parse_isotope(sym) is not None:
+                        continue  # isotopes handled by readers/CSVY path
+                    raise ValueError(f"Unknown element symbol '{sym}'")
+                elements.append(z)
+                fractions.append(float(frac))
+            order = np.argsort(elements)
+            elements = np.asarray(elements)[order]
+            fractions = np.asarray(fractions)[order]
+            norm = fractions.sum()
+            if not np.isclose(norm, 1.0, atol=1e-8):
+                fractions = fractions / norm
+            mass_fractions = np.repeat(fractions[:, None], S, axis=1)
+        else:
+            raise NotImplementedError(
+                f"abundance type '{abund_type}'"
+            )
         composition = Composition(
-            atomic_numbers=elements,
-            mass_fractions=np.repeat(fractions[:, None], S, axis=1),
+            atomic_numbers=np.asarray(elements),
+            mass_fractions=mass_fractions,
             density=density,
         )
 
@@ -145,6 +191,44 @@ class SimulationState:
             t_radiative=t_radiative,
             dilution_factor=dilution_factor,
         )
+
+    @classmethod
+    def _read_abundance_file(cls, abund_cfg, n_shells_full, config):
+        """``abundances: {type: file}`` for specific-structure models.
+
+        simple_ascii (reference readers/generic_readers.py
+        read_simple_ascii_mass_fractions): whitespace table whose FIRST
+        data row describes the centre of the model (unused); each later
+        row is ``shell_index X_Z1 X_Z2 ...`` with one column per atomic
+        number starting at Z=1.  artis: one row per shell, 30 elemental
+        columns after the index (readers/artis.py).
+        """
+        filename = abund_cfg.get("filename")
+        if not filename:
+            raise ValueError("abundances type 'file' requires 'filename'")
+        filetype = abund_cfg.get("filetype") or "simple_ascii"
+        data = np.atleast_2d(np.loadtxt(filename))
+        if filetype == "simple_ascii":
+            mf = data[1:, 1:].T  # drop centre row + index column -> (Z, S)
+        elif filetype == "artis":
+            mf = (data[:, 1:] if data.shape[1] == 31 else data).T
+        else:
+            raise NotImplementedError(
+                f"abundance filetype '{filetype}'"
+            )
+        if mf.shape[1] != n_shells_full:
+            raise ValueError(
+                f"abundance file has {mf.shape[1]} shells; the model "
+                f"structure has {n_shells_full}"
+            )
+        zs = np.arange(1, mf.shape[0] + 1)
+        present = mf.sum(axis=1) > 0
+        mf = np.asarray(mf[present], np.float64)
+        zs = zs[present]
+        norm = mf.sum(axis=0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mf = np.where(norm > 0, mf / norm, 0.0)
+        return zs, mf
 
     @classmethod
     def _from_file_structure(cls, structure, config) -> "SimulationState":

@@ -156,7 +156,36 @@ class Simulation:
                 config.plasma.get("nlte", {}).get("classical_nebular", False)
             ),
         )
-        transport_solver = TransportSolver(
+        virtual_cfg = config.spectrum.get("virtual", {})
+        if virtual_cfg.get("enable_biasing", False):
+            raise NotImplementedError(
+                "spectrum.virtual.enable_biasing: v-packet biasing is not "
+                "implemented (the dense volley pass has no roulette to "
+                "bias)"
+            )
+        if float(virtual_cfg.get("tau_russian", 10.0)) != 10.0 or float(
+            virtual_cfg.get("survival_probability", 0.0)
+        ) != 0.0:
+            # the TPU v-packet pass integrates e^-tau exactly over the
+            # whole ray (transport/vpacket.py) — Russian roulette is an
+            # approximation it does not need, so these knobs cannot
+            # change the result
+            logger.info(
+                "spectrum.virtual.tau_russian/survival_probability are "
+                "no-ops: the v-packet pass computes the exact e^-tau "
+                "attenuation the roulette would approximate"
+            )
+
+        solver_cls = TransportSolver
+        if config.montecarlo.get("enable_nonhomologous_expansion", False):
+            # arbitrary piecewise-linear v(r): same API, nonhomologous
+            # kernel (reference modes/nonhomologous/)
+            from tardis_tpu.transport.solver import (
+                NonhomologousTransportSolver,
+            )
+
+            solver_cls = NonhomologousTransportSolver
+        transport_solver = solver_cls(
             line_interaction_type=line_interaction_type,
             disable_electron_scattering=config.plasma.get(
                 "disable_electron_scattering", False

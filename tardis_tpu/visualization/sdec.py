@@ -15,7 +15,12 @@ Counterpart of the reference's ``SDECPlotter``
   ["Si II", "Ca", ...] or ``nelements`` keeps the strongest contributors
   and folds the rest into "other";
 - **backends**: matplotlib (``generate_plot_mpl``) and plotly
-  (``generate_plot_ply``).
+  (``generate_plot_ply``);
+- **flux mode**: ``distance`` converts luminosity density to observed flux
+  (L / 4 pi d^2, reference lum_to_flux), ``observed_spectrum=(wl_A, flux)``
+  overplots data, ``show_modeled_spectrum`` toggles the total line, and
+  ``blackbody_photosphere`` overlays the t_inner blackbody
+  (reference sdec_plot.py:707-746).
 """
 
 from __future__ import annotations
@@ -172,6 +177,20 @@ class SDECPlotter:
         return emission, absorption
 
     # ------------------------------------------------------------------
+    def _photosphere_luminosity_lambda(self, wl_angstrom):
+        """Blackbody L_lambda of the photosphere [erg/s/AA]
+        (reference _calculate_photosphere_luminosity,
+        sdec_plot.py:707-730):  pi B_lambda(t_inner) * 4 pi r_inner^2."""
+        from tardis_tpu.constants import H, K_B
+
+        t = self.sim.state.t_inner
+        r = self.sim.state.geometry.r_inner[0]
+        lam_cm = np.asarray(wl_angstrom) * 1e-8
+        x = H * C / (lam_cm * K_B * t)
+        b_lam = 2.0 * H * C**2 / lam_cm**5 / np.expm1(np.clip(x, 1e-10,
+                                                              500.0))
+        return np.pi * b_lam * 4.0 * np.pi * r**2 * 1e-8  # per AA
+
     def generate_plot_mpl(
         self,
         packets_mode: str = "real",
@@ -180,6 +199,10 @@ class SDECPlotter:
         nelements=None,
         wavelength_range_angstrom=None,
         save_path: str | None = None,
+        distance=None,
+        observed_spectrum=None,
+        show_modeled_spectrum: bool = True,
+        blackbody_photosphere: bool = True,
     ):
         import matplotlib
 
@@ -189,21 +212,49 @@ class SDECPlotter:
         wl, em_stack, ab_stack, labels_e, labels_a, total = self._prep(
             packets_mode, species_list, nelements, wavelength_range_angstrom
         )
+        # flux mode: L / (4 pi d^2) with d in cm (reference lum_to_flux)
+        lum_to_flux = 1.0
+        if distance is not None:
+            if observed_spectrum is None and distance <= 0:
+                raise ValueError("distance must be positive")
+            lum_to_flux = 4.0 * np.pi * float(distance) ** 2
+        elif observed_spectrum is not None:
+            raise ValueError(
+                "plotting an observed spectrum requires distance"
+            )
+
+        def fl(y):
+            return y / lum_to_flux
+
         if ax is None:
             fig, ax = plt.subplots(figsize=(11, 6))
         else:
             fig = ax.figure
-        ax.stackplot(wl, em_stack, labels=labels_e, alpha=0.8)
+        ax.stackplot(wl, [fl(e) for e in em_stack], labels=labels_e,
+                     alpha=0.8)
         if len(ab_stack):
             ax.stackplot(
-                wl, [-a for a in ab_stack], labels=[
+                wl, [-fl(a) for a in ab_stack], labels=[
                     f"{n} (abs)" for n in labels_a
                 ], alpha=0.5,
             )
-        ax.plot(wl, total, color="k", lw=0.8, label="total")
+        if show_modeled_spectrum:
+            ax.plot(wl, fl(total), color="k", lw=0.8, label="total")
+        if blackbody_photosphere:
+            ax.plot(
+                wl, fl(self._photosphere_luminosity_lambda(wl)),
+                "--", color="0.3", lw=0.9, label="blackbody photosphere",
+            )
+        if observed_spectrum is not None:
+            obs_wl, obs_flux = observed_spectrum
+            ax.plot(obs_wl, obs_flux, color="tab:red", lw=0.8,
+                    label="observed")
         ax.axhline(0.0, color="k", lw=0.5)
         ax.set_xlabel("wavelength [$\\AA$]")
-        ax.set_ylabel("$L_\\lambda$ [erg/s/$\\AA$]")
+        ax.set_ylabel(
+            "$F_\\lambda$ [erg/s/cm$^2$/$\\AA$]" if distance is not None
+            else "$L_\\lambda$ [erg/s/$\\AA$]"
+        )
         ax.set_title(f"SDEC ({packets_mode} packets)")
         ax.legend(fontsize=8, ncol=3)
         if wavelength_range_angstrom is not None:
@@ -218,6 +269,10 @@ class SDECPlotter:
         species_list=None,
         nelements=None,
         wavelength_range_angstrom=None,
+        distance=None,
+        observed_spectrum=None,
+        show_modeled_spectrum: bool = True,
+        blackbody_photosphere: bool = True,
     ):
         """Interactive plotly figure (reference generate_plot_ply,
         sdec_plot.py).  Requires plotly; raises ImportError otherwise."""
@@ -226,22 +281,47 @@ class SDECPlotter:
         wl, em_stack, ab_stack, labels_e, labels_a, total = self._prep(
             packets_mode, species_list, nelements, wavelength_range_angstrom
         )
+        lum_to_flux = 1.0
+        if distance is not None:
+            lum_to_flux = 4.0 * np.pi * float(distance) ** 2
+        elif observed_spectrum is not None:
+            raise ValueError(
+                "plotting an observed spectrum requires distance"
+            )
         fig = go.Figure()
         for name, y in zip(labels_e, em_stack):
             fig.add_trace(
-                go.Scatter(x=wl, y=y, stackgroup="emission", name=name)
+                go.Scatter(x=wl, y=y / lum_to_flux, stackgroup="emission",
+                           name=name)
             )
         for name, y in zip(labels_a, ab_stack):
             fig.add_trace(
                 go.Scatter(
-                    x=wl, y=-y, stackgroup="absorption",
+                    x=wl, y=-y / lum_to_flux, stackgroup="absorption",
                     name=f"{name} (abs)",
                 )
             )
-        fig.add_trace(
-            go.Scatter(x=wl, y=total, name="total",
-                       line=dict(color="black", width=1))
-        )
+        if show_modeled_spectrum:
+            fig.add_trace(
+                go.Scatter(x=wl, y=total / lum_to_flux, name="total",
+                           line=dict(color="black", width=1))
+            )
+        if blackbody_photosphere:
+            fig.add_trace(
+                go.Scatter(
+                    x=wl,
+                    y=self._photosphere_luminosity_lambda(wl) / lum_to_flux,
+                    name="blackbody photosphere",
+                    line=dict(color="gray", width=1, dash="dash"),
+                )
+            )
+        if observed_spectrum is not None:
+            obs_wl, obs_flux = observed_spectrum
+            fig.add_trace(
+                go.Scatter(x=np.asarray(obs_wl), y=np.asarray(obs_flux),
+                           name="observed",
+                           line=dict(color="red", width=1))
+            )
         fig.update_layout(
             xaxis_title="wavelength [Å]",
             yaxis_title="L_lambda [erg/s/Å]",

@@ -137,3 +137,99 @@ def test_lowercase_junk_in_abundances_raises():
     cfg["model"]["abundances"]["silicon"] = 0.1
     with pytest.raises(ConfigurationError, match="unknown key"):
         validate_schema(cfg)
+
+
+def test_no_silently_ignored_schema_keys():
+    """Every schema leaf key is referenced somewhere in the non-schema
+    source: an accepted-but-unread config option is worse than a missing
+    one (round-3 VERDICT item 4: enable_adiabatic_cooling was validated
+    and then ignored).  String-level check — coarse, but it catches the
+    dead-flag pattern."""
+    import glob
+    import os
+
+    from tardis_tpu.config import schema
+
+    def walk(spec, path, out):
+        if isinstance(spec, dict) and spec.get("type") == "object":
+            for k, sub in (spec.get("properties") or {}).items():
+                walk(sub, path + [k], out)
+        else:
+            out.append(path)
+
+    leaves = []
+    for k, spec in schema.BASE_SCHEMA.items():
+        walk(spec, [k], leaves)
+    assert len(leaves) > 60  # sanity: the walk sees the whole schema
+
+    root = os.path.join(os.path.dirname(__file__), "..", "tardis_tpu")
+    src = ""
+    for f in glob.glob(os.path.join(root, "**", "*.py"), recursive=True):
+        if f.endswith(os.path.join("config", "schema.py")):
+            continue
+        src += open(f).read()
+
+    unread = [
+        ".".join(p) for p in leaves if p[-1] not in src
+    ]
+    assert not unread, f"schema keys no code path reads: {unread}"
+
+
+def test_v_boundary_masking():
+    """model.structure.v_inner_boundary/v_outer_boundary trim the shell
+    grid, clipping the partially-covered boundary shells (reference
+    parse_geometry_configuration.py)."""
+    import copy
+
+    import numpy as np
+
+    from tardis_tpu.config.reader import config_from_dict
+    from tardis_tpu.model.state import SimulationState
+    from tests.test_plasma import BASE_CONFIG
+
+    cfg = copy.deepcopy(BASE_CONFIG)
+    full = SimulationState.from_config(config_from_dict(cfg))
+    cfg["model"]["structure"]["v_inner_boundary"] = "1.2e4 km/s"
+    cfg["model"]["structure"]["v_outer_boundary"] = "1.8e4 km/s"
+    cut = SimulationState.from_config(config_from_dict(cfg))
+    assert cut.no_of_shells < full.no_of_shells
+    np.testing.assert_allclose(cut.geometry.v_inner[0], 1.2e9)
+    np.testing.assert_allclose(cut.geometry.v_outer[-1], 1.8e9)
+    # trimmed boundary shells keep their untrimmed densities
+    lo = np.searchsorted(full.geometry.v_outer, 1.2e9, side="right")
+    np.testing.assert_allclose(
+        cut.composition.density[0], full.composition.density[lo]
+    )
+
+
+def test_abundance_file_simple_ascii(tmp_path):
+    """abundances: {type: file} with the reference's simple_ascii layout
+    (first data row = centre, ignored; columns = Z starting at 1)."""
+    import copy
+
+    import numpy as np
+
+    from tardis_tpu.config.reader import config_from_dict
+    from tardis_tpu.model.state import SimulationState
+    from tests.test_plasma import BASE_CONFIG
+
+    cfg = copy.deepcopy(BASE_CONFIG)
+    n = cfg["model"]["structure"]["velocity"]["num"]
+    rows = [np.concatenate([[0], np.zeros(14)])]  # centre row (unused)
+    rng = np.random.default_rng(3)
+    for i in range(n):
+        x = np.zeros(14)
+        x[7] = 0.2 + 0.4 * rng.random()  # O
+        x[13] = 1.0 - x[7]  # Si
+        rows.append(np.concatenate([[i], x]))
+    f = tmp_path / "abund.dat"
+    np.savetxt(f, np.array(rows))
+    cfg["model"]["abundances"] = {"type": "file", "filename": str(f),
+                                  "filetype": "simple_ascii"}
+    state = SimulationState.from_config(config_from_dict(cfg))
+    assert list(state.composition.atomic_numbers) == [8, 14]
+    np.testing.assert_allclose(
+        state.composition.mass_fractions.sum(axis=0), 1.0, rtol=1e-12
+    )
+    # per-shell variation survived
+    assert state.composition.mass_fractions[0].std() > 0.01

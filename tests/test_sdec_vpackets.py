@@ -128,3 +128,96 @@ def test_live_convergence_plots(sim):
     assert cp.figure is not None
     assert len(cp.t_rad_traces) == len(cp.iterations)
     assert cp.l_requested > 0
+
+
+def test_sdec_flux_mode_options(sim):
+    """distance/observed_spectrum/show_modeled_spectrum/
+    blackbody_photosphere options (reference sdec_plot.py:733-746;
+    round-3 VERDICT item 7), validated against the plotter's own
+    luminosity-mode output."""
+    import matplotlib.pyplot as plt
+
+    p = SDECPlotter(sim)
+    wl, em_stack, *_rest, total = p._prep("real", None, None, None)
+    MPC = 3.0856775814913673e24  # cm
+    d = 10.0 * MPC
+    obs = (wl, total / (4.0 * np.pi * d**2))
+
+    fig = p.generate_plot_mpl(
+        packets_mode="real",
+        distance=d,
+        observed_spectrum=obs,
+        show_modeled_spectrum=True,
+        blackbody_photosphere=True,
+    )
+    ax = fig.axes[0]
+    labels = [ln.get_label() for ln in ax.get_lines()]
+    assert "total" in labels
+    assert "blackbody photosphere" in labels
+    assert "observed" in labels
+    assert "F_\\lambda" in ax.get_ylabel() or "F_" in ax.get_ylabel()
+    # the modeled total in flux mode must equal the observed overlay we
+    # constructed from it
+    total_line = ax.get_lines()[[
+        ln.get_label() for ln in ax.get_lines()
+    ].index("total")]
+    np.testing.assert_allclose(
+        total_line.get_ydata(), obs[1], rtol=1e-12
+    )
+    plt.close(fig)
+
+    # blackbody photosphere overlay is the t_inner Planck curve scaled to
+    # the photosphere area: check the analytic value at one wavelength
+    from tardis_tpu.constants import C as C_L
+    from tardis_tpu.constants import H, K_B
+
+    lam_cm = 5000e-8
+    t = sim.state.t_inner
+    r = sim.state.geometry.r_inner[0]
+    b_lam = 2 * H * C_L**2 / lam_cm**5 / np.expm1(H * C_L / (lam_cm * K_B * t))
+    expected = np.pi * b_lam * 4 * np.pi * r**2 * 1e-8
+    got = p._photosphere_luminosity_lambda(np.array([5000.0]))[0]
+    np.testing.assert_allclose(got, expected, rtol=1e-12)
+
+    # modeled spectrum can be hidden
+    fig2 = p.generate_plot_mpl(
+        packets_mode="real", show_modeled_spectrum=False,
+        blackbody_photosphere=False,
+    )
+    labels2 = [ln.get_label() for ln in fig2.axes[0].get_lines()]
+    assert "total" not in labels2
+    assert "blackbody photosphere" not in labels2
+    plt.close(fig2)
+
+    # observed spectrum without distance is rejected (reference behavior)
+    with pytest.raises(ValueError):
+        p.generate_plot_mpl(packets_mode="real", observed_spectrum=obs)
+
+
+def test_lineid_plotter_styles(sim):
+    """Self-contained lineid plotter: all three styles annotate without
+    overlap (reference visualization/tools/lineid_plotter.py)."""
+    import matplotlib.pyplot as plt
+
+    from tardis_tpu.visualization.lineid import lineid_plotter
+
+    spec = sim.spectrum_real
+    wl = 2.99792458e18 / np.asarray(spec.nu)
+    y = np.asarray(spec.luminosity_nu)
+    lines = [3950.0, 4000.0, 4020.0, 6150.0]  # two nearly-degenerate
+    labels = ["Ca II", "Si II", "S II", "Si II 6355"]
+    for style in ("top", "inside", "along"):
+        fig, ax = plt.subplots()
+        ax.plot(wl, y)
+        lineid_plotter(ax, lines, labels, wl, y, style=style)
+        anns = [a for a in ax.texts]
+        assert len(anns) == len(lines)
+        # de-overlap: label x-positions are separated
+        xs = sorted(a.get_position()[0] for a in anns)
+        seps = np.diff(xs)
+        assert (seps > 1.0).all(), seps
+        plt.close(fig)
+    with pytest.raises(ValueError):
+        fig, ax = plt.subplots()
+        lineid_plotter(ax, lines, labels, wl, y, style="bogus")
+    plt.close("all")
