@@ -48,6 +48,63 @@ class Spectrum:
         """F_nu at a given distance."""
         return self.luminosity_nu / (4.0 * np.pi * distance_cm**2)
 
+    # ---- TARDISSpectrum conveniences (reference spectrum/spectrum.py:9) --
+
+    @property
+    def wavelength_angstrom(self) -> np.ndarray:
+        """Bin-centre wavelengths [A]."""
+        return self.wavelength * 1e8
+
+    @property
+    def luminosity_density_lambda(self) -> np.ndarray:
+        """L_lambda [erg s^-1 A^-1] (reference
+        luminosity_density_lambda; f_nu_to_f_lambda convention)."""
+        return self.luminosity_lambda * 1e-8
+
+    @staticmethod
+    def luminosity_to_flux(luminosity, distance_cm: float):
+        """L -> F at a distance (reference TARDISSpectrum
+        .luminosity_to_flux)."""
+        return luminosity / (4.0 * np.pi * float(distance_cm) ** 2)
+
+    def plot(self, ax=None, mode: str = "wavelength", **kwargs):
+        """Plot the spectrum against wavelength [A] or frequency [Hz]
+        (reference TARDISSpectrum.plot)."""
+        if ax is None:
+            from matplotlib.pyplot import gca
+
+            ax = gca()
+        if mode == "wavelength":
+            ax.plot(
+                self.wavelength_angstrom, self.luminosity_density_lambda,
+                **kwargs,
+            )
+            ax.set_xlabel("Wavelength [$\\AA$]")
+            ax.set_ylabel("$L_\\lambda$ [erg s$^{-1}$ $\\AA^{-1}$]")
+        elif mode == "frequency":
+            ax.plot(self.nu, self.luminosity_nu, **kwargs)
+            ax.set_xlabel("Frequency [Hz]")
+            ax.set_ylabel("$L_\\nu$ [erg s$^{-1}$ Hz$^{-1}$]")
+        else:
+            raise ValueError(
+                "mode must be 'wavelength' or 'frequency'"
+            )
+        return ax
+
+    def to_ascii(self, fname: str, mode: str = "luminosity_density"):
+        """Two-column ascii export: wavelength [A] + L_lambda (or the
+        per-bin luminosity with mode='luminosity')
+        (reference TARDISSpectrum.to_ascii)."""
+        if mode == "luminosity_density":
+            y = self.luminosity_density_lambda
+        elif mode == "luminosity":
+            y = self.luminosity_nu * self.delta_nu
+        else:
+            raise NotImplementedError(
+                "only 'luminosity_density' and 'luminosity' modes exist"
+            )
+        np.savetxt(fname, np.column_stack([self.wavelength_angstrom, y]))
+
 
 def frequency_grid(lambda_start_cm: float, lambda_end_cm: float, num: int):
     """Uniform nu grid spanning the requested wavelength range.

@@ -379,3 +379,75 @@ def test_grotrian_full_features(sim):
                       int(sim.atom_data.species_ion[1]))
     assert g2.atomic_symbol
     g2.display()
+
+
+def test_opacity_calculator(sim):
+    """OpacityCalculator (reference analysis/opacities.py): expansion
+    opacity vs a direct per-bin loop, Planck mean bounded by components,
+    tau integration telescopes."""
+    from tardis_tpu.analysis.opacities import OpacityCalculator
+    from tardis_tpu.constants import C, SIGMA_THOMSON
+
+    calc = OpacityCalculator(sim, nbins=80)
+    S = sim.state.no_of_shells
+    assert calc.kappa_exp.shape == (80, S)
+    np.testing.assert_allclose(
+        calc.kappa_thom,
+        SIGMA_THOMSON * sim.plasma_state.electron_densities,
+    )
+    # direct per-bin loop oracle for a few bins (the reference's
+    # _calc_expansion_opacity algorithm)
+    edges = calc.nu_bins
+    line_nu = sim.atom_data.line_nu
+    tau = sim.plasma_state.tau_sobolev
+    for i in (5, 40, 70):
+        in_bin = (line_nu >= edges[i]) & (line_nu < edges[i + 1])
+        expected = (
+            (1.0 - np.exp(-tau[in_bin])).sum(axis=0)
+            * edges[i] / (edges[i + 1] - edges[i])
+            / (C * sim.state.time_explosion)
+        )
+        np.testing.assert_allclose(calc.kappa_exp[i], expected, rtol=1e-12)
+    # Planck mean lies between the component extremes
+    assert (calc.planck_kappa >= calc.kappa_thom * (1 - 1e-12)).all()
+    assert (calc.planck_kappa <= calc.kappa_tot.max(axis=0) + 1e-30).all()
+    # integrated tau telescopes: tau[i] - tau[i+1] == delta_tau[i]
+    np.testing.assert_allclose(
+        calc.planck_tau[:-1] - calc.planck_tau[1:],
+        calc.planck_delta_tau[:-1],
+        rtol=1e-12,
+    )
+    # cache invalidation on grid change
+    calc.nbins = 40
+    assert calc.kappa_exp.shape == (40, S)
+
+
+def test_spectrum_conveniences(sim, tmp_path):
+    """TARDISSpectrum-style plot/to_ascii/unit views
+    (reference spectrum/spectrum.py:9)."""
+    import matplotlib.pyplot as plt
+
+    spec = sim.spectrum_real
+    # unit views
+    np.testing.assert_allclose(
+        spec.luminosity_density_lambda,
+        spec.luminosity_nu * spec.nu**2 / 2.99792458e10 * 1e-8,
+    )
+    f = spec.luminosity_to_flux(spec.luminosity_nu, 3.086e24)
+    np.testing.assert_allclose(
+        f, spec.luminosity_nu / (4 * np.pi * 3.086e24**2)
+    )
+    # plot both modes
+    fig, ax = plt.subplots()
+    spec.plot(ax=ax, mode="wavelength")
+    assert "AA" in ax.get_xlabel() or "\\AA" in ax.get_xlabel()
+    spec.plot(ax=ax, mode="frequency")
+    with pytest.raises(ValueError):
+        spec.plot(ax=ax, mode="bogus")
+    plt.close(fig)
+    # ascii round trip
+    out = tmp_path / "spec.dat"
+    spec.to_ascii(str(out))
+    data = np.loadtxt(out)
+    np.testing.assert_allclose(data[:, 0], spec.wavelength_angstrom)
+    np.testing.assert_allclose(data[:, 1], spec.luminosity_density_lambda)
