@@ -10,6 +10,7 @@ from __future__ import annotations
 import re
 
 import numpy as np
+from dataclasses import dataclass
 
 from tardis_tpu.atomic.atom_data import ATOMIC_SYMBOLS, SYMBOL_TO_Z
 from tardis_tpu.model.density import density_after_time
@@ -512,4 +513,174 @@ def simulation_state_from_arepo(
         mass_fractions = np.stack([fractions[i] for i in order])
     return _assemble_state(
         geometry, elements, mass_fractions, density_now, config
+    )
+
+
+# --- SNEC full-output directory (reference io/model/snec/snec_output.py) --
+
+# quantity/file lists mirroring the reference's parser_config YAMLs
+# (snec_xg_output_quantities.yml etc.)
+SNEC_XG_QUANTITIES = (
+    "vel", "rho", "temp", "logT", "tau", "lum", "p_rad", "press",
+)
+SNEC_INITIAL_COMPOSITION = (
+    "H_init_frac", "He_init_frac", "C_init_frac", "O_init_frac",
+    "Ni_init_frac",
+)
+SNEC_INITIAL_QUANTITIES = (
+    "rad_initial", "rho_initial", "mass_initial", "press_initial",
+    "delta_mass_initial",
+)
+SNEC_EM_OUTPUT = (
+    "lum_observed", "lum_photo", "vel_photo", "mass_lumshell",
+    "mass_photo", "Ni_total_luminosity", "T_eff",
+)
+SNEC_EM_INDEX_OUTPUT = ("index_lumshell", "index_photo")
+
+
+@dataclass
+class SNECOutput:
+    """Complete SNEC explosion-simulation output
+    (reference snec_output.py SNECOutput; numpy instead of
+    pandas/xarray).
+
+    - ``timestamps`` (T,) and ``profiles``: {quantity: (T, cells)} merged
+      radial profiles from the per-quantity .xg files (plus 'radius' and
+      'enclosed_mass' from mass.xg);
+    - ``initial_composition`` / ``initial_quantities``: {name: (cells,)};
+    - ``em_output``: {'time': (Tem,), name: (Tem,)} photospheric time
+      series.
+    """
+
+    timestamps: np.ndarray
+    profiles: dict
+    initial_composition: dict
+    initial_quantities: dict
+    em_output: dict
+
+
+def _read_snec_dat(path):
+    data = np.atleast_2d(np.loadtxt(path))
+    return data[:, 0], data[:, 1]
+
+
+def read_snec_output(snec_output_dir: str) -> SNECOutput:
+    """Read a complete SNEC run directory (expects an ``output/``
+    subdirectory with mass.xg, {quantity}.xg, and {name}.dat files;
+    reference read_snec_output, snec_output.py:312-335).  Missing optional
+    quantity files are skipped with a warning; mass.xg is required."""
+    import logging
+    import os
+
+    log = logging.getLogger(__name__)
+    out = os.path.join(snec_output_dir, "output")
+    t_mass, mass_blocks = read_snec_xg(os.path.join(out, "mass.xg"))
+    cells = len(mass_blocks[0])
+    profiles = {
+        "radius": np.stack([b[:, 0] for b in mass_blocks]),
+        "enclosed_mass": np.stack([b[:, 1] for b in mass_blocks]),
+    }
+    for q in SNEC_XG_QUANTITIES:
+        path = os.path.join(out, f"{q}.xg")
+        if not os.path.exists(path):
+            log.warning("SNEC output missing %s.xg — skipped", q)
+            continue
+        t_q, blocks = read_snec_xg(path)
+        if len(t_q) != len(t_mass) or not np.allclose(t_q, t_mass):
+            raise ValueError(
+                f"time stamps of {q}.xg do not match mass.xg"
+            )
+        profiles[q] = np.stack([b[:, 1] for b in blocks])
+        if profiles[q].shape[1] != cells:
+            raise ValueError(f"{q}.xg cell count mismatch")
+
+    def read_group(names, first_col):
+        group = {}
+        ref_first = None
+        for name in names:
+            path = os.path.join(out, f"{name}.dat")
+            if not os.path.exists(path):
+                log.warning("SNEC output missing %s.dat — skipped", name)
+                continue
+            first, vals = _read_snec_dat(path)
+            if ref_first is None:
+                ref_first = first
+                group[first_col] = first
+            elif not np.allclose(first, ref_first):
+                raise ValueError(f"{name}.dat {first_col} grid mismatch")
+            group[name] = vals
+        return group
+
+    return SNECOutput(
+        timestamps=t_mass,
+        profiles=profiles,
+        initial_composition=read_group(
+            SNEC_INITIAL_COMPOSITION, "cell_id"
+        ),
+        initial_quantities=read_group(SNEC_INITIAL_QUANTITIES, "cell_id"),
+        em_output=read_group(
+            SNEC_EM_OUTPUT + SNEC_EM_INDEX_OUTPUT, "time"
+        ),
+    )
+
+
+def simulation_state_from_snec_output(
+    snec_output_dir: str,
+    config,
+    snapshot_time: float | None = None,
+) -> SimulationState:
+    """Full SNEC output directory -> SimulationState.
+
+    Unlike :func:`simulation_state_from_snec` (single .xg profile +
+    hand-supplied composition), this uses the run's own per-cell initial
+    composition files and the velocity/density/temperature profiles of
+    the snapshot nearest ``snapshot_time`` (default: time_explosion).
+    """
+    t_exp = config.supernova.time_explosion
+    snec = read_snec_output(snec_output_dir)
+    target = t_exp if snapshot_time is None else snapshot_time
+    i = int(np.argmin(np.abs(snec.timestamps - target)))
+
+    v = snec.profiles["vel"][i]
+    keep = np.concatenate(
+        [[True], np.diff(snec.profiles["radius"][i]) > 0]
+    )
+    v = np.maximum.accumulate(np.abs(v[keep]))
+    v = np.where(
+        np.diff(np.concatenate([[0.0], v])) <= 0,
+        v + np.arange(len(v)) * 1e-6 * max(v.max(), 1.0), v,
+    )
+    geometry = Radial1DGeometry.from_velocity_grid(v, t_exp)
+    density = density_after_time(
+        snec.profiles["rho"][i][keep][1:], snec.timestamps[i], t_exp
+    )
+    t_rad = (
+        snec.profiles["temp"][i][keep][1:]
+        if "temp" in snec.profiles else None
+    )
+
+    # per-cell composition from the *_init_frac files; shells are the
+    # inter-edge intervals, so average the two bounding cells
+    comp = snec.initial_composition
+    elements, fractions = [], []
+    for name in SNEC_INITIAL_COMPOSITION:
+        if name not in comp:
+            continue
+        sym = name.split("_")[0]
+        frac = comp[name][keep]
+        elements.append(SYMBOL_TO_Z[sym])
+        fractions.append(0.5 * (frac[:-1] + frac[1:]))
+    if not elements:
+        raise ValueError(
+            "SNEC output has no *_init_frac composition files"
+        )
+    order = np.argsort(elements)
+    elements = np.asarray(elements)[order]
+    mass_fractions = np.stack([fractions[j] for j in order])
+    tot = mass_fractions.sum(axis=0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mass_fractions = np.where(tot > 0, mass_fractions / tot, 0.0)
+    return _assemble_state(
+        geometry, elements, mass_fractions, density, config,
+        t_radiative=t_rad,
     )

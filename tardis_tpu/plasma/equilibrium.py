@@ -31,11 +31,39 @@ balance already used by the Type IIP workflow.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 import numpy as np
 
 from tardis_tpu.constants import H, K_B
 from tardis_tpu.plasma.nlte import _A_COEF, _B_COEF
 from tardis_tpu.plasma.lte import intensity_black_body
+
+
+@dataclass
+class ElectronEnergyDistribution:
+    """Electron energy distribution (cgs floats; reference
+    plasma/electron_energy_distribution/base.py)."""
+
+    energy: np.ndarray  # (S,) erg
+
+
+@dataclass
+class ThermalElectronEnergyDistribution(ElectronEnergyDistribution):
+    """Thermal (Maxwellian) electron distribution: mean energy 3/2 k T_e,
+    with temperature and number density per shell."""
+
+    temperature: np.ndarray  # (S,) K
+    number_density: np.ndarray  # (S,) cm^-3
+
+    @classmethod
+    def from_plasma_state(cls, plasma_state):
+        t_e = plasma_state.t_electrons
+        return cls(
+            energy=1.5 * K_B * t_e,
+            temperature=t_e,
+            number_density=plasma_state.electron_densities,
+        )
 
 
 class KineticEquilibriumSolver:
@@ -194,6 +222,8 @@ class KineticEquilibriumSolver:
         n_e_iterations: int = 30,
         n_e_threshold: float = 0.01,
         damping: float = 0.5,
+        electron_distribution: ThermalElectronEnergyDistribution
+        | None = None,
     ):
         """Solve coupled level+ion populations and the electron density.
 
@@ -215,9 +245,17 @@ class KineticEquilibriumSolver:
         plus the converged electron density (S,).
         """
         t_rad, w = plasma_state.t_rad, plasma_state.w
-        t_e = plasma_state.t_electrons
+        # optional explicit electron distribution (reference passes a
+        # ThermalElectronEnergyDistribution into the equilibrium solvers)
+        if electron_distribution is not None:
+            t_e = electron_distribution.temperature
+            n_e = np.asarray(
+                electron_distribution.number_density, np.float64
+            ).copy()
+        else:
+            t_e = plasma_state.t_electrons
+            n_e = plasma_state.electron_densities.copy()
         S = len(t_rad)
-        n_e = plasma_state.electron_densities.copy()
 
         # charge contributed by species NOT treated kinetically
         atom = self.atom

@@ -600,6 +600,8 @@ class NonhomologousTransportSolver(TransportSolver):
         vpacket_spawn_nu_range: tuple | None = None,
         continuum_state=None,
         continuum_macro=None,
+        need_line_estimators: bool = True,
+        lum_nu_window: tuple | None = None,
     ) -> TransportResult:
         if self.enable_full_relativity:
             raise NotImplementedError(
@@ -616,6 +618,17 @@ class NonhomologousTransportSolver(TransportSolver):
         )
 
         geometry = sim_state.geometry
+        if not hasattr(geometry, "velocity_gradient"):
+            # plain homologous geometry (e.g. the
+            # enable_nonhomologous_expansion config path): lift it to the
+            # piecewise-linear representation, v(r) = r / t_exp
+            from tardis_tpu.model.geometry import (
+                NonhomologousRadial1DGeometry,
+            )
+
+            geometry = NonhomologousRadial1DGeometry.from_homologous(
+                geometry
+            )
         plasma_nh = nonhomologous_plasma_state(plasma_state, geometry)
         macro_state = None
         if self.line_interaction_type in ("downbranch", "macroatom"):
@@ -668,7 +681,9 @@ class NonhomologousTransportSolver(TransportSolver):
             batch_size=min(self.batch_size, n_packets),
         )
         return self._finalize(
-            carry, sim_state, atom_data, n_packets, full_relativity=False
+            carry, sim_state, atom_data, n_packets, full_relativity=False,
+            need_line_estimators=need_line_estimators,
+            lum_nu_window=lum_nu_window,
         )
 
 

@@ -23,6 +23,11 @@ from tests.reference_continuum import HostContinuumTables, propagate_packet_iip
 from tests.test_plasma import BASE_CONFIG
 
 
+
+# full-physics oracle tests: minutes on this 2-core host — run with
+# `pytest -m "slow or not slow"` for the complete tier (see pytest.ini)
+pytestmark = pytest.mark.slow
+
 @pytest.fixture(scope="module")
 def iip_setup():
     cfg = copy.deepcopy(BASE_CONFIG)

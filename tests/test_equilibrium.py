@@ -24,6 +24,11 @@ from tardis_tpu.plasma.solver import PlasmaSolver
 from tests.test_plasma import BASE_CONFIG
 
 
+
+# full-physics oracle tests: minutes on this 2-core host — run with
+# `pytest -m "slow or not slow"` for the complete tier (see pytest.ini)
+pytestmark = pytest.mark.slow
+
 @pytest.fixture(scope="module")
 def setup():
     cfg = copy.deepcopy(BASE_CONFIG)
@@ -142,3 +147,28 @@ def test_thermal_balance_solver(setup):
     assert np.isfinite(t_e).all()
     assert (t_e >= 0.5 * ps.t_rad - 1).all()
     assert (t_e <= 1.5 * ps.t_rad + 1).all()
+
+
+def test_thermal_electron_energy_distribution(setup):
+    """ThermalElectronEnergyDistribution interchange dataclass (reference
+    plasma/electron_energy_distribution/base.py): the kinetic solver
+    accepts it and a distribution built from the plasma state reproduces
+    the default path."""
+    from tardis_tpu.constants import K_B
+    from tardis_tpu.plasma.equilibrium import (
+        KineticEquilibriumSolver,
+        ThermalElectronEnergyDistribution,
+    )
+
+    state, atom, pls = setup
+    ps = pls.update(state.t_radiative, state.dilution_factor)
+    solver = KineticEquilibriumSolver(atom, pls, elements=[1])
+    dist = ThermalElectronEnergyDistribution.from_plasma_state(ps)
+    np.testing.assert_allclose(dist.energy, 1.5 * K_B * ps.t_electrons)
+    np.testing.assert_allclose(dist.number_density,
+                               ps.electron_densities)
+    lp_a, ip_a, ne_a = solver.solve(ps)
+    lp_b, ip_b, ne_b = solver.solve(ps, electron_distribution=dist)
+    np.testing.assert_allclose(ne_b, ne_a, rtol=1e-12)
+    for z in lp_a:
+        np.testing.assert_allclose(lp_b[z], lp_a[z], rtol=1e-12)

@@ -344,3 +344,81 @@ def test_cmfgen2tardis_converter_roundtrip(tmp_path):
     z_ni = 28
     idx = list(state.composition.atomic_numbers).index(z_ni)
     assert state.composition.mass_fractions[idx, 0] < 0.4
+
+
+def test_snec_full_output_reader(tmp_path, config):
+    """Complete SNEC run directory: merged .xg profiles, per-cell initial
+    composition, photospheric time series, and SimulationState assembly
+    using the run's own composition (reference io/model/snec/
+    snec_output.py; round-3 VERDICT item 6)."""
+    from tardis_tpu.io.model_readers import (
+        read_snec_output,
+        simulation_state_from_snec_output,
+    )
+
+    out = tmp_path / "output"
+    out.mkdir()
+    times = (1e5, 5e5, 1.1e6)
+    n = 6
+
+    def write_xg(name, col):
+        blocks = []
+        for ti, t in enumerate(times):
+            rows = []
+            for i in range(n):
+                radius = 1e14 * (i + 1) * (1 + 0.1 * ti)
+                mass = 1e33 * (i + 1)
+                first = radius if name == "mass" else mass
+                rows.append(f"{first} {col(i, ti)}")
+            blocks.append(f' "Time = {t}\n' + "\n".join(rows))
+        (out / f"{name}.xg").write_text("\n\n".join(blocks) + "\n")
+
+    write_xg("mass", lambda i, ti: 1e33 * (i + 1))
+    write_xg("vel", lambda i, ti: 2e8 * (i + 1))
+    write_xg("rho", lambda i, ti: 1e-12 / (i + 1))
+    write_xg("temp", lambda i, ti: 8000 - 300 * i)
+
+    comp = {
+        "H_init_frac": [0.6] * n,
+        "He_init_frac": [0.3] * n,
+        "O_init_frac": [0.1] * n,
+    }
+    for name, vals in comp.items():
+        (out / f"{name}.dat").write_text(
+            "\n".join(f"{i + 1} {v}" for i, v in enumerate(vals)) + "\n"
+        )
+    (out / "rad_initial.dat").write_text(
+        "\n".join(f"{i + 1} {1e14 * (i + 1)}" for i in range(n)) + "\n"
+    )
+    for name in ("lum_observed", "T_eff"):
+        (out / f"{name}.dat").write_text(
+            "\n".join(f"{t} {1e42}" for t in times) + "\n"
+        )
+
+    snec = read_snec_output(str(tmp_path))
+    assert snec.profiles["vel"].shape == (3, n)
+    assert snec.profiles["radius"].shape == (3, n)
+    assert "tau" not in snec.profiles  # missing optional file skipped
+    np.testing.assert_allclose(
+        snec.initial_composition["H_init_frac"], 0.6
+    )
+    assert "lum_observed" in snec.em_output
+    assert len(snec.em_output["time"]) == 3
+
+    state = simulation_state_from_snec_output(
+        str(tmp_path), config, snapshot_time=1.1e6
+    )
+    assert state.no_of_shells == n - 1
+    assert list(state.composition.atomic_numbers) == [1, 2, 8]
+    np.testing.assert_allclose(
+        state.composition.mass_fractions.sum(axis=0), 1.0, rtol=1e-10
+    )
+    np.testing.assert_allclose(
+        state.composition.mass_fractions[0], 0.6, rtol=1e-10
+    )
+    # timestamp mismatch raises
+    write_xg("press", lambda i, ti: 1.0)
+    bad = (out / "press.xg").read_text().replace("1100000.0", "2200000.0")
+    (out / "press.xg").write_text(bad)
+    with pytest.raises(ValueError):
+        read_snec_output(str(tmp_path))

@@ -150,3 +150,30 @@ def test_distance_boundary_reference_geometry():
     d_exact = np.sqrt(1.0 - r0**2 * (1 - mu0**2)) - r0 * mu0
     np.testing.assert_allclose(d[2], d_exact, rtol=1e-6)
     assert delta[2] == 1
+
+
+@pytest.mark.parametrize(
+    ["nu", "temperature", "expected"],
+    [
+        # literal expectations from the reference's own unit test
+        # (spectrum/formal_integral/tests/test_formal_integral.py:51-62).
+        # Only the nu=1e6 pairs are ported: the reference's nu=1e8 rows
+        # (6.156e-24 / 1.847e-24) disagree with its OWN formula
+        # 2 h nu^3 / c^2 / (e^x - 1), which gives 3.07e-18 / 9.22e-19
+        # there -- stale fixture values, reproduced by no implementation
+        # of the stated formula.
+        (10**6, 1000, 3.072357852080765e-22),
+        (10**6, 300, 9.21707305730458e-23),
+    ],
+)
+def test_intensity_black_body_reference_literals(nu, temperature, expected):
+    from tardis_tpu.plasma.lte import intensity_black_body
+
+    np.testing.assert_allclose(
+        intensity_black_body(nu, temperature), expected, rtol=1e-5
+    )
+    from tardis_tpu.utils.base import intensity_black_body as ibb_util
+
+    np.testing.assert_allclose(
+        ibb_util(nu, temperature), expected, rtol=1e-5
+    )
