@@ -478,21 +478,31 @@ def rebin_arepo_profile(r, v, rho, mass, xnuc, n_shells: int):
 def simulation_state_from_arepo(
     position, velocity, density, mass, xnuc, snapshot_time: float,
     config, n_shells: int = 20, opening_angle: float = 20.0,
-    inner_radius=None, outer_radius=None,
+    inner_radius=None, outer_radius=None, profile: str = "cone",
 ) -> SimulationState:
     """3-D Arepo-style snapshot arrays -> 1-D SimulationState.
 
     ``xnuc`` keys may be element symbols or isotope labels ('Ni56');
     isotopes are decayed from snapshot_time to time_explosion.
+    ``profile``: 'cone' (reference create_cone_profile) or 'full'
+    (angle-averaged over all cells, reference create_full_profile).
     """
     from tardis_tpu.model.decay import fold_isotopes_into_elements
 
     t_exp = config.supernova.time_explosion
-    prof = arepo_cone_profile(
-        position, velocity, density, mass, xnuc,
-        opening_angle=opening_angle,
-        inner_radius=inner_radius, outer_radius=outer_radius,
-    )
+    if profile == "cone":
+        prof = arepo_cone_profile(
+            position, velocity, density, mass, xnuc,
+            opening_angle=opening_angle,
+            inner_radius=inner_radius, outer_radius=outer_radius,
+        )
+    elif profile == "full":
+        prof = arepo_full_profile(
+            position, velocity, density, mass, xnuc,
+            inner_radius=inner_radius, outer_radius=outer_radius,
+        )
+    else:
+        raise ValueError("profile must be 'cone' or 'full'")
     v_sh, rho_sh, xn_sh = rebin_arepo_profile(*prof, n_shells=n_shells)
     v_inner0 = max(v_sh[0] - (v_sh[1] - v_sh[0]), 0.5 * v_sh[0])
     edges = np.concatenate([[v_inner0], v_sh])
@@ -684,3 +694,124 @@ def simulation_state_from_snec_output(
         geometry, elements, mass_fractions, density, config,
         t_radiative=t_rad,
     )
+
+@dataclass
+class ArepoData:
+    """Arepo snapshot container (reference io/model/arepo/data.py:8-61;
+    cgs floats instead of astropy quantities)."""
+
+    time: float  # s
+    position: np.ndarray  # (3, N) cm
+    velocities: np.ndarray  # (3, N) cm/s
+    densities: np.ndarray  # (N,) g/cm^3
+    mass: np.ndarray  # (N,) g
+    isotope_dict: dict  # species -> (N,) mass fraction
+
+    @property
+    def volume(self) -> np.ndarray:
+        return self.mass / self.densities
+
+    @property
+    def species(self) -> list:
+        return list(self.isotope_dict.keys())
+
+
+def arepo_full_profile(
+    position, velocity, density, mass, xnuc,
+    inner_radius=None, outer_radius=None,
+):
+    """Angle-averaged radial profile from ALL snapshot cells (reference
+    create_full_profile, io/model/arepo/utils.py:212-374) — same return
+    convention as :func:`arepo_cone_profile`."""
+    pos = np.asarray(position, dtype=np.float64)
+    vel = np.asarray(velocity, dtype=np.float64)
+    r = np.sqrt((pos**2).sum(axis=0))
+    vmag = np.sqrt((vel**2).sum(axis=0))
+    rho = np.asarray(density, dtype=np.float64)
+    mss = np.asarray(mass, dtype=np.float64)
+    xn = {k: np.asarray(v, dtype=np.float64) for k, v in xnuc.items()}
+    keep = np.ones(len(r), bool)
+    if inner_radius is not None:
+        keep &= r >= inner_radius
+    if outer_radius is not None:
+        keep &= r <= outer_radius
+    if not keep.any():
+        raise ValueError("no cells remain inside the radius cuts")
+    r, vmag, rho, mss = r[keep], vmag[keep], rho[keep], mss[keep]
+    xn = {k: v[keep] for k, v in xn.items()}
+    order = np.argsort(r)
+    return (
+        r[order], vmag[order], rho[order], mss[order],
+        {k: v[order] for k, v in xn.items()},
+    )
+
+
+def arepo_export_csvy(
+    filename: str,
+    velocity_edges: np.ndarray,  # (S+1,) cm/s shell-boundary velocities
+    density: np.ndarray,  # (S,) g/cm^3
+    xnuc: dict,  # species -> (S,) mass fraction
+    time_days: float,
+    overwrite: bool = False,
+) -> str:
+    """Write a rebinned Arepo profile as a TARDIS CSVY model file
+    (reference export_profile_to_csvy, io/model/arepo/utils.py:551-667).
+
+    The output round-trips through this framework's own CSVY reader.
+    Follows the reference's convention: one header row per shell boundary,
+    with density/abundances of row i describing the shell bounded below by
+    row i-1 (the first row's non-velocity entries are placeholders).
+    Returns the actual filename written (suffix collisions get _N).
+    """
+    import os
+
+    base, ext = os.path.splitext(filename)
+    if ext != ".csvy":
+        base = filename
+    fname = base + ".csvy"
+    if os.path.exists(fname) and not overwrite:
+        i = 0
+        while os.path.exists(f"{base}_{i}.csvy"):
+            i += 1
+        fname = f"{base}_{i}.csvy"
+
+    S = len(density)
+    if len(velocity_edges) != S + 1:
+        raise ValueError("need S+1 velocity edges for S shells")
+    species = list(xnuc.keys())
+    lines = [
+        "---",
+        "name: csvy_full",
+        f"model_density_time_0: {time_days:g} day",
+        f"model_isotope_time_0: {time_days:g} day",
+        "description: Config file for TARDIS from Arepo snapshot.",
+        "tardis_model_config_version: v1.0",
+        "datatype:",
+        "  fields:",
+        "    -  name: velocity",
+        "       unit: cm/s",
+        "       desc: velocities of shell outer bounderies.",
+        "    -  name: density",
+        "       unit: g/cm^3",
+        "       desc: density of shell.",
+    ]
+    for spec in species:
+        lines += [
+            f"    -  name: {spec.capitalize()}",
+            f"       desc: fractional {spec.capitalize()} abundance.",
+        ]
+    lines += ["---", ",".join(["velocity", "density"] +
+                              [s.capitalize() for s in species])]
+    # first row: inner boundary (density/abundance placeholders)
+    row0 = [f"{velocity_edges[0]:.8e}", f"{density[0]:.8e}"] + [
+        f"{xnuc[s][0]:.8e}" for s in species
+    ]
+    lines.append(",".join(row0))
+    for i in range(S):
+        row = [f"{velocity_edges[i + 1]:.8e}", f"{density[i]:.8e}"] + [
+            f"{xnuc[s][i]:.8e}" for s in species
+        ]
+        lines.append(",".join(row))
+    with open(fname, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    return fname
