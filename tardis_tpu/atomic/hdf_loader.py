@@ -49,7 +49,15 @@ def atom_data_from_hdf(path: str) -> AtomData:
         # load-only tables the reference also just carries
         # (io/atom_data/base.py:97-131): kept in meta for downstream use
         extra = {}
-        for name in ("linelist_atoms", "linelist_molecules"):
+        for name in (
+            "linelist_atoms",
+            "linelist_molecules",
+            # per-isotope gamma-line/positron tables for the high-energy
+            # vertical (reference decay_radiation.py consumes this table;
+            # energy_input/decay.py decay_radiation_from_atom_data parses
+            # it into IsotopeRadiation entries)
+            "decay_radiation_data",
+        ):
             if name in store:
                 extra[name] = store[name]
 

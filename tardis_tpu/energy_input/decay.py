@@ -134,22 +134,93 @@ DECAY_RADIATION: dict[str, IsotopeRadiation] = {
 ANNIHILATION_KEV = 511.0
 
 
-def radiation_for(member: str) -> IsotopeRadiation:
-    """Radiation table for a chain member (empty for unknown/stable)."""
-    return DECAY_RADIATION.get(member, IsotopeRadiation(_lines()))
+def decay_radiation_from_atom_data(atom_data) -> dict:
+    """Parse a carsus ``decay_radiation_data`` table into per-isotope
+    :class:`IsotopeRadiation` entries (reference decay_radiation.py:6-67:
+    columns Z, A, Radiation, Rad Energy [keV], Rad Intensity [%]).
+
+    Returns {} when the atomic dataset carries no such table; entries
+    override the built-in NNDC values when present.
+    """
+    df = getattr(atom_data, "meta", {}).get("decay_radiation_data")
+    if df is None:
+        return {}
+    from tardis_tpu.atomic.atom_data import ATOMIC_SYMBOLS
+
+    d = df.reset_index()
+    norm = {c.lower().replace(" ", "_"): c for c in d.columns}
+
+    def col(*names):
+        for n in names:
+            if n in norm:
+                return d[norm[n]]
+        return None
+
+    z = col("z", "atomic_number")
+    a = col("a", "mass_number")
+    rtype = col("radiation", "radiation_type")
+    energy = col("rad_energy", "radiation_energy_kev")
+    inten = col("rad_intensity", "rad_intensity")
+    if any(v is None for v in (z, a, rtype, energy, inten)):
+        raise ValueError(
+            "decay_radiation_data table lacks the reference's columns "
+            "(Z, A, Radiation, Rad Energy, Rad Intensity)"
+        )
+    z = np.asarray(z, np.int64)
+    a = np.asarray(a, np.int64)
+    rtype = np.asarray(rtype).astype(str)
+    energy = np.asarray(energy, np.float64)
+    frac = np.asarray(inten, np.float64) / 100.0  # per 100 decays
+
+    out = {}
+    for zz, aa in {(int(x), int(y)) for x, y in zip(z, a)}:
+        sel = (z == zz) & (a == aa)
+        label = f"{ATOMIC_SYMBOLS[zz - 1]}{aa}"
+        is_g = sel & np.char.startswith(rtype, "g")
+        # beta-plus rows carry the positron mean kinetic energy
+        is_bp = sel & (
+            np.char.startswith(rtype, "bp")
+            | np.char.startswith(rtype, "e+")
+        )
+        glines = np.column_stack([energy[is_g], frac[is_g]]) if \
+            is_g.any() else _lines()
+        pos_int = float(frac[is_bp].sum())
+        pos_mean = (
+            float((energy[is_bp] * frac[is_bp]).sum() / pos_int)
+            if pos_int > 0 else 0.0
+        )
+        out[label] = IsotopeRadiation(
+            gamma_lines=np.asarray(glines, np.float64).reshape(-1, 2),
+            positron_intensity=pos_int,
+            positron_mean_kev=pos_mean,
+        )
+    return out
 
 
-def gamma_energy_per_decay(member: str) -> float:
+def radiation_for(member: str, radiation: dict | None = None
+                  ) -> IsotopeRadiation:
+    """Radiation table for a chain member (empty for unknown/stable).
+
+    ``radiation`` optionally overrides/extends the built-in NNDC table —
+    e.g. the parsed carsus decay_radiation_data
+    (:func:`decay_radiation_from_atom_data`)."""
+    table = DECAY_RADIATION if radiation is None else radiation
+    return table.get(member, IsotopeRadiation(_lines()))
+
+
+def gamma_energy_per_decay(member: str, radiation: dict | None = None
+                           ) -> float:
     """keV of gamma radiation per decay, INCLUDING annihilation photons."""
-    rad = radiation_for(member)
+    rad = radiation_for(member, radiation)
     e = float((rad.gamma_lines[:, 0] * rad.gamma_lines[:, 1]).sum()) \
         if len(rad.gamma_lines) else 0.0
     return e + 2.0 * ANNIHILATION_KEV * rad.positron_intensity
 
 
-def positron_energy_per_decay(member: str) -> float:
+def positron_energy_per_decay(member: str, radiation: dict | None = None
+                              ) -> float:
     """keV of positron KINETIC energy per decay (deposited locally)."""
-    rad = radiation_for(member)
+    rad = radiation_for(member, radiation)
     return rad.positron_intensity * rad.positron_mean_kev
 
 
@@ -264,6 +335,7 @@ def sample_gamma_packets(
     t_end: float,
     seed: int = 0,
     n_time_bins: int = 64,
+    radiation: dict | None = None,  # per-isotope IsotopeRadiation override
 ) -> GammaPacketPool:
     """Sample decay gamma packets over (chain member, shell, time, line).
 
@@ -286,19 +358,24 @@ def sample_gamma_packets(
             contrib = np.outer(np.asarray(n0, np.float64), per_nucleus)
             decays[member] = decays.get(member, 0.0) + contrib  # (S, B)
 
-    members = sorted(m for m in decays if gamma_energy_per_decay(m) > 0
-                     or positron_energy_per_decay(m) > 0)
+    members = sorted(
+        m for m in decays
+        if gamma_energy_per_decay(m, radiation) > 0
+        or positron_energy_per_decay(m, radiation) > 0
+    )
     if not members:
         raise ValueError("no radioactive gamma/positron emitters in input")
 
     # gamma energy per (member, shell, bin) [erg]
     weights = np.stack(
-        [decays[m] * gamma_energy_per_decay(m) * KEV for m in members]
+        [decays[m] * gamma_energy_per_decay(m, radiation) * KEV
+         for m in members]
     )  # (M, S, B)
     total = float(weights.sum())
     # positron kinetic energy per (shell, bin) [erg] — local deposition
     positron = sum(
-        decays[m] * positron_energy_per_decay(m) * KEV for m in members
+        decays[m] * positron_energy_per_decay(m, radiation) * KEV
+        for m in members
     )
     positron = np.asarray(positron, np.float64).reshape(S, n_time_bins)
 
@@ -320,7 +397,7 @@ def sample_gamma_packets(
         sel = member_idx == mi
         if not sel.any():
             continue
-        rad = radiation_for(m)
+        rad = radiation_for(m, radiation)
         lines = rad.gamma_lines
         if rad.positron_intensity > 0:
             lines = np.vstack(

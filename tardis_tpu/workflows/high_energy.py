@@ -45,12 +45,15 @@ class GammaRayResult:
 
 class TARDISHEWorkflow:
     def __init__(self, sim_state, isotope_mass_fractions=None,
-                 seed: int = 23111963, ni56_mass_fraction=None):
+                 seed: int = 23111963, ni56_mass_fraction=None,
+                 atom_data=None):
         """isotope_mass_fractions: {'Ni56': (S,) or scalar, 'Cr48': ...} —
         arbitrary chains from model/decay._HALF_LIVES.  The legacy
         ``ni56_mass_fraction`` keyword is equivalent to
         ``{'Ni56': value}``."""
         from tardis_tpu.energy_input.decay import (
+            DECAY_RADIATION,
+            decay_radiation_from_atom_data,
             isotope_numbers_from_fractions,
         )
 
@@ -78,6 +81,14 @@ class TARDISHEWorkflow:
             self.isotope_fractions.values()
         )
         self.seed = seed
+        # per-isotope radiation data: carsus decay_radiation_data entries
+        # (when the atomic dataset carries them) override the built-in
+        # NNDC table (reference decay_radiation.py)
+        self.radiation = dict(DECAY_RADIATION)
+        if atom_data is not None:
+            self.radiation.update(
+                decay_radiation_from_atom_data(atom_data)
+            )
 
     def run(
         self,
@@ -90,7 +101,8 @@ class TARDISHEWorkflow:
         state = self.state
         S = state.no_of_shells
         pool = sample_gamma_packets(
-            n_packets, self.isotope_numbers, t_start, t_end, seed=self.seed
+            n_packets, self.isotope_numbers, t_start, t_end,
+            seed=self.seed, radiation=self.radiation,
         )
         time_edges = np.logspace(
             np.log10(t_start), np.log10(t_end), n_time_steps + 1

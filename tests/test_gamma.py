@@ -182,3 +182,47 @@ def test_two_isotope_families(he_state):
     accounted = res.total_escaped + res.total_deposited
     assert accounted <= res.total_emitted * 1.02
     assert res.total_deposited > 0 and res.total_escaped > 0
+
+
+def test_decay_radiation_from_atom_data():
+    """carsus decay_radiation_data parsing (reference decay_radiation.py:
+    Z/A/Radiation/Rad Energy/Rad Intensity columns) overrides the
+    built-in NNDC table end-to-end through the sampler."""
+    import pandas as pd
+
+    from tardis_tpu.atomic.synthetic import make_synthetic_atom_data
+
+    df = pd.DataFrame(
+        {
+            "Z": [27, 27, 27, 24, 24],
+            "A": [56, 56, 56, 48, 48],
+            "Radiation": ["g", "g", "bp", "g", "g"],
+            "Rad Energy": [846.77, 1238.29, 610.0, 112.31, 308.24],
+            "Rad subtype": [""] * 5,
+            "Rad Intensity": [99.9, 66.5, 19.4, 96.0, 100.0],
+        }
+    )
+    atom = make_synthetic_atom_data(n_levels=5)
+    atom.meta["decay_radiation_data"] = df
+    rad = decay.decay_radiation_from_atom_data(atom)
+    assert set(rad) == {"Co56", "Cr48"}
+    co = rad["Co56"]
+    np.testing.assert_allclose(co.positron_intensity, 0.194)
+    np.testing.assert_allclose(co.positron_mean_kev, 610.0)
+    assert co.gamma_lines.shape == (2, 2)
+    # per-decay energies computed from the parsed table (incl. 2x511
+    # annihilation photons per positron)
+    e_co = decay.gamma_energy_per_decay("Co56", rad)
+    np.testing.assert_allclose(
+        e_co,
+        846.77 * 0.999 + 1238.29 * 0.665 + 2 * 511.0 * 0.194,
+        rtol=1e-12,
+    )
+    # the sampler consumes the override: line energies come from it
+    nums = {"Cr48": np.full(3, 1e47)}
+    pool = decay.sample_gamma_packets(
+        500, nums, 1 * DAY, 20 * DAY, seed=5, radiation=rad
+    )
+    assert set(np.unique(pool.energy_kev)) <= {112.31, 308.24, 511.0,
+                                               983.53, 1312.11, 944.13,
+                                               2240.4}
