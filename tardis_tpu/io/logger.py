@@ -63,16 +63,106 @@ class LogFilter(logging.Filter):
         return record.levelno in self.log_levels
 
 
+def _in_notebook() -> bool:
+    """True inside a Jupyter kernel (reference util/environment.py)."""
+    try:
+        from IPython import get_ipython
+
+        shell = get_ipython()
+        return (
+            shell is not None
+            and shell.__class__.__name__ == "ZMQInteractiveShell"
+        )
+    except Exception:
+        return False
+
+
+class JupyterLogWidgetHandler(logging.Handler):
+    """Per-level scrolling log columns rendered as ipywidgets HTML
+    (reference io/logger/logger.py:55-226 widget panel: one column per
+    level, batched async updates).  Records are buffered and flushed to
+    the widgets every ``batch_size`` records (and on ERROR+)."""
+
+    _CSS_COLORS = {
+        logging.DEBUG: "#2aa4b0",
+        logging.INFO: "#2e8b57",
+        logging.WARNING: "#b8860b",
+        logging.ERROR: "#c0392b",
+        logging.CRITICAL: "#c0392b",
+    }
+
+    def __init__(self, batch_size: int = 10, max_rows: int = 500):
+        super().__init__()
+        import ipywidgets as w
+
+        self.batch_size = max(int(batch_size), 1)
+        self.max_rows = max_rows
+        self._rows: dict[str, list] = {}
+        self._pending = 0
+        self._columns = {}
+        tabs = []
+        self._names = ("INFO", "WARNING/ERROR", "DEBUG", "ALL")
+        for name in self._names:
+            self._rows[name] = []
+            self._columns[name] = w.HTML("")
+            tabs.append(self._columns[name])
+        self.widget = w.Tab(children=tabs)
+        for i, name in enumerate(self._names):
+            self.widget.set_title(i, name)
+
+    def _column_for(self, levelno: int) -> str:
+        if levelno >= logging.WARNING:
+            return "WARNING/ERROR"
+        if levelno == logging.DEBUG:
+            return "DEBUG"
+        return "INFO"
+
+    def emit(self, record):
+        color = self._CSS_COLORS.get(record.levelno, "#000")
+        html = (
+            f'<code><span style="color:{color}">'
+            f"[{record.levelname}]</span> "
+            f"{logging.Handler.format(self, record)}</code><br>"
+        )
+        for name in (self._column_for(record.levelno), "ALL"):
+            rows = self._rows[name]
+            rows.append(html)
+            del rows[: -self.max_rows]
+        self._pending += 1
+        if (
+            self._pending >= self.batch_size
+            or record.levelno >= logging.ERROR
+        ):
+            self.flush()
+
+    def flush(self):
+        for name, rows in self._rows.items():
+            self._columns[name].value = (
+                '<div style="max-height:300px;overflow-y:auto">'
+                + "".join(rows)
+                + "</div>"
+            )
+        self._pending = 0
+
+    def display(self):
+        from IPython.display import display
+
+        display(self.widget)
+
+
 class TARDISLogger:
     """Configures the 'tardis_tpu' logger tree
-    (reference io/logger/logger.py:55-226 minus widget handlers)."""
+    (reference io/logger/logger.py:55-226, including the Jupyter widget
+    panel when running in a notebook)."""
 
     def __init__(self, name: str = "tardis_tpu"):
         self.logger = logging.getLogger(name)
         self._handler = None
+        self._widget_handler = None
 
     def configure_logging(
-        self, log_level: str, config=None, specific_log_level: bool = False
+        self, log_level: str, config=None, specific_log_level: bool = False,
+        display_widget: bool | None = None,
     ):
         # config debug section wins over the argument (reference behavior:
         # logging_state resolves debug.log_level vs the function arg)
@@ -120,6 +210,25 @@ class TARDISLogger:
             handler.removeFilter(f)
         if specific_log_level and numeric:
             handler.addFilter(LogFilter([numeric]))
+
+        # Jupyter widget panel (reference per-level log columns): auto on
+        # inside a notebook kernel, forced with display_widget=True
+        if display_widget is None:
+            display_widget = _in_notebook()
+        if self._widget_handler is not None:
+            root.removeHandler(self._widget_handler)
+            self._widget_handler = None
+        if display_widget:
+            wh = JupyterLogWidgetHandler(
+                batch_size=max(buffer_capacity, 1)
+            )
+            wh.setFormatter(logging.Formatter("%(message)s"))
+            if specific_log_level and numeric:
+                wh.addFilter(LogFilter([numeric]))
+            root.addHandler(wh)
+            self._widget_handler = wh
+            if _in_notebook():
+                wh.display()
         return self
 
 

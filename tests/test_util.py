@@ -190,3 +190,38 @@ def test_atom_data_download_cache_and_registry(tmp_path, monkeypatch):
     )
     with pytest.raises(RuntimeError, match="copy the file manually"):
         dl.download_atom_data("broken")
+
+
+def test_jupyter_log_widget_handler():
+    """Jupyter log panel (reference io/logger/logger.py widget columns):
+    records land in per-level columns with batched flushes."""
+    import logging
+
+    from tardis_tpu.io.logger import JupyterLogWidgetHandler, TARDISLogger
+
+    h = JupyterLogWidgetHandler(batch_size=3)
+    h.setFormatter(logging.Formatter("%(message)s"))
+    lg = logging.getLogger("tardis_tpu.test_widget")
+    lg.setLevel(logging.DEBUG)
+    lg.addHandler(h)
+    try:
+        lg.info("first info")
+        lg.warning("a warning")
+        # batch of 3 not reached -> widgets still empty
+        assert "first info" not in h._columns["INFO"].value
+        lg.debug("some debug")  # third record triggers flush
+        assert "first info" in h._columns["INFO"].value
+        assert "a warning" in h._columns["WARNING/ERROR"].value
+        assert "some debug" in h._columns["DEBUG"].value
+        assert "a warning" in h._columns["ALL"].value
+        lg.error("boom")  # ERROR flushes immediately
+        assert "boom" in h._columns["WARNING/ERROR"].value
+    finally:
+        lg.removeHandler(h)
+
+    # configure_logging wires it on demand (forced outside a notebook)
+    tl = TARDISLogger("tardis_tpu.test_widget2")
+    tl.configure_logging("INFO", display_widget=True)
+    assert tl._widget_handler is not None
+    tl.configure_logging("INFO", display_widget=False)
+    assert tl._widget_handler is None
