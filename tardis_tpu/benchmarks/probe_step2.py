@@ -54,6 +54,7 @@ def main():
         plasma.j_blues,
         plasma.stimulated_emission_factor,
         mode="macroatom",
+        line_nu_scaled=atom.line_nu / 1e15,
     )
     tables, static = build_transport_tables(
         state.geometry, plasma, atom, "macroatom", macro_chain=mchain

@@ -102,7 +102,11 @@ def bench_transport(
             plasma.j_blues,
             plasma.stimulated_emission_factor,
         )
-        macro_chain = solve_macro_chain(*margs, mode=mode)
+        from tardis_tpu.transport.device_state import NU_UNIT
+
+        macro_chain = solve_macro_chain(
+            *margs, mode=mode, line_nu_scaled=atom.line_nu / NU_UNIT
+        )
         if macro_chain is None:
             macro_state = solve_macro_state(*margs)
     macro_solve_s = time.time() - t_host0
@@ -159,17 +163,17 @@ def bench_transport(
 
 # Irreducible LARGE-TABLE row gathers per kernel step in macroatom+chain
 # mode (no continuum, no tracking): pool-pack refill, tau_pack prefix,
-# packed-search levels 1 and 0, emitted line_nu, chain_cdf row, emit_cdf
-# row = 7.  These dominate the step budget on TPU, where ops execute
+# packed-search levels 1 and 0, chain_cdf row, emit_cdf row = 6 (the
+# emitted line's nu/id are extracted from the emit_cdf row itself).  These dominate the step budget on TPU, where ops execute
 # sequentially and each B-row gather from an HBM-resident table costs the
 # measured ~10-12 ns/row REGARDLESS of row width.  The remaining step ops
 # — small-table gathers that XLA lowers to vector selects (20-shell
 # chi_e/r tables, 128-row search level 2), the flat scatter-adds, VPU
 # arithmetic, and the threefry pass — measure below this budget's noise,
 # so the roofline is deliberately the tightest defensible bound:
-# n_steps * B * 7 * gather_ns.  fraction_of_roofline ~ 1 means the full
+# n_steps * B * 6 * gather_ns.  fraction_of_roofline ~ 1 means the full
 # kernel costs no more than its irreducible gathers back-to-back.
-ROOFLINE_GATHERS = 7
+ROOFLINE_GATHERS = 6
 
 
 def measure_row_costs(batch=131072, n_steps=60):
@@ -178,7 +182,7 @@ def measure_row_costs(batch=131072, n_steps=60):
     Returns (gather_ns_per_row, scatter_ns_per_update): the cost of one
     dependent (B, 128)-row gather and one flat scalar scatter-add update
     on this chip (probe_loop_ops2 patterns H and D).  The transport
-    kernel's roofline is  n_steps * B * (11 * gather + 6 * scatter).
+    kernel's roofline is  n_steps * B * ROOFLINE_GATHERS * gather.
     """
     import jax
     import jax.numpy as jnp

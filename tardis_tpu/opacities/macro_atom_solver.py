@@ -179,7 +179,7 @@ class MacroChainState:
     chain_width: int  # W (0 for downbranch)
     emit_width: int  # We (longest emission block)
     chain_cdf: object | None  # (S*M, W+1) f32 [cdf | base] (None: downbranch)
-    emit_cdf: object  # (S*M, 2*We) f32 [cdf | line ids]
+    emit_cdf: object  # (S*M, 3*We) f32 [cdf | line ids | line nus]
     line2macro: np.ndarray  # (L,) i32 activation map
     emit_block_start: np.ndarray  # (M+1,) i32
     emit_line: np.ndarray  # (E0,) i32
@@ -204,7 +204,8 @@ class _ChainContext:
     on this stack).
     """
 
-    def __init__(self, macro: MacroAtomData, mode: str):
+    def __init__(self, macro: MacroAtomData, mode: str,
+                 line_nu_scaled=None):
         refs = macro.block_references.astype(np.int64)
         M = len(refs) - 1
         self.M = M
@@ -233,11 +234,20 @@ class _ChainContext:
         slot = np.arange(len(e_src)) - e_start[e_src]
         line_dense = np.zeros((M, We), np.float32)
         line_dense[e_src, slot] = e_line.astype(np.float32)
+        # emitted-line frequencies packed into the emission rows (third
+        # block): extracting nu from the already-fetched row kills the
+        # kernel's separate line_nu gather (1 of the 7 critical gathers)
+        nu_dense = np.zeros((M, We), np.float32)
+        if line_nu_scaled is not None:
+            nu_dense[e_src, slot] = np.asarray(
+                line_nu_scaled, np.float32
+            )[e_line]
         arrays.update(
             emit_idx=np.asarray(e_idx, np.int32),
             e_src=np.asarray(e_src, np.int32),
             e_slot=np.asarray(e_src * We + slot, np.int32),
             line_dense=line_dense,
+            nu_dense=nu_dense,
         )
 
         self.bucket_meta = []
@@ -341,11 +351,12 @@ class _ChainContext:
         self.arrays = jax.device_put(arrays)
 
 
-def _chain_context(macro: MacroAtomData, mode: str) -> _ChainContext:
+def _chain_context(macro: MacroAtomData, mode: str,
+                   line_nu_scaled=None) -> _ChainContext:
     key = "_chain_ctx_" + mode
     ctx = macro.__dict__.get(key)
     if ctx is None:
-        ctx = _ChainContext(macro, mode)
+        ctx = _ChainContext(macro, mode, line_nu_scaled)
         import jax
 
         # ONE jitted program per context (static structure in closure,
@@ -399,9 +410,13 @@ def _device_chain_tables(ctx, arrays, p_norm):
     tot = cum[:, :, -1:]
     ecdf = jnp.where(tot > 0, cum / tot, 1.0)
     emit_cdf = jnp.concatenate(
-        [ecdf, jnp.broadcast_to(arrays["line_dense"][None], ecdf.shape)],
+        [
+            ecdf,
+            jnp.broadcast_to(arrays["line_dense"][None], ecdf.shape),
+            jnp.broadcast_to(arrays["nu_dense"][None], ecdf.shape),
+        ],
         axis=2,
-    ).reshape(S * M, 2 * We)
+    ).reshape(S * M, 3 * We)
 
     if ctx.W == 0:  # downbranch: no absorbing chain
         return None, emit_cdf
@@ -464,6 +479,7 @@ def solve_macro_chain(
     stim_factor: np.ndarray,
     mode: str = "macroatom",
     max_chain_bytes: float = 6e9,
+    line_nu_scaled=None,
 ) -> MacroChainState | None:
     """Build device-resident absorbing-chain CDF tables; None if they would
     not fit within ``max_chain_bytes`` of device memory (caller falls back
@@ -472,7 +488,13 @@ def solve_macro_chain(
     """
     import jax.numpy as jnp
 
-    ctx = _chain_context(macro, mode)
+    if line_nu_scaled is None:
+        raise ValueError(
+            "solve_macro_chain requires line_nu_scaled (kernel-unit line "
+            "frequencies) — emitted-line nus are packed into the emission "
+            "rows"
+        )
+    ctx = _chain_context(macro, mode, line_nu_scaled)
     M, W, We = ctx.M, ctx.W, ctx.We
     S = beta_sobolev.shape[1]
 
@@ -485,7 +507,7 @@ def solve_macro_chain(
             if ctx.bucket_meta
             else 0.0
         )
-        table_bytes = S * M * (W + 1) * 4.0 + S * M * 2 * We * 4.0
+        table_bytes = S * M * (W + 1) * 4.0 + S * M * 3 * We * 4.0
         if table_bytes + solve_bytes > max_chain_bytes:
             return None  # fall back to the in-kernel walk
 

@@ -94,7 +94,7 @@ class TransportTables(NamedTuple):
     # opacities/macro_atom_solver.py solve_macro_chain); size-1 dummies
     # when the walk path is used ----
     chain_cdf: jnp.ndarray = jnp.zeros((1, 2), jnp.float32)  # (S*M, W+1)
-    emit_cdf: jnp.ndarray = jnp.zeros((1, 2), jnp.float32)  # (S*M, 2*We)
+    emit_cdf: jnp.ndarray = jnp.zeros((1, 3), jnp.float32)  # (S*M, 3*We)
     # two-photon decay emission: inverse-CDF frequency table in kernel nu
     # units (continuum_macro.two_photon_inv_cdf * nu0); size-1 dummy when
     # two-photon decay is disabled

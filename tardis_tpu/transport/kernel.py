@@ -23,10 +23,12 @@ TPU-native redesign of the reference's per-packet event loop
    nu_i * cumsum(diff) (replacing estimators/radfield_estimator_calcs.py:
    128-170's per-line adds).  Flat f32 scatters run ~5x faster than
    multi-column row scatters on this stack (probe_loop_ops2).
-4. **Alias-method macro atom**: the absorbing-chain categorical draws
-   (macro_atom_solver.solve_macro_chain) sample via Walker alias rows —
-   one row gather per draw (replacing macro_atom.py:52-104's RNG walk and
-   the round-2 two-level CDF row search).
+4. **Packed-CDF macro atom**: the absorbing-chain categorical draws
+   (macro_atom_solver.solve_macro_chain, device-built) sample via
+   component-local packed CDF rows — ONE row gather + a VPU row-count per
+   draw, with the emitted line's id AND frequency extracted from the same
+   emission row (replacing macro_atom.py:52-104's RNG walk, the round-2
+   CDF search, and the round-3 host-built alias tables).
 5. **Counter-based RNG**: all of a step's draws come from ONE
    threefry pass:  U = uniform(fold_in(fold_in(key, packet_id), event_idx),
    (10,)) — reproducible across batch sizes and device counts (replacing
@@ -343,13 +345,16 @@ def _chain_emission(tables, static, level, shell, u_row, u_acc1, u_deact,
     else:  # downbranch: deactivate at the activated level
         j = level
 
-    erow = tables.emit_cdf[shell * M + j]  # (B, 2*We)
+    erow = tables.emit_cdf[shell * M + j]  # (B, 3*We)
     k2 = jnp.minimum(
         jnp.sum(erow[:, :We] < u_deact[:, None], axis=1), We - 1
     ).astype(I32)
     sel = jnp.arange(We, dtype=I32)[None, :] == k2[:, None]
-    em_line = jnp.sum(jnp.where(sel, erow[:, We:], 0.0), axis=1)
-    return em_line.astype(I32)
+    em_line = jnp.sum(jnp.where(sel, erow[:, We : 2 * We], 0.0), axis=1)
+    # emitted-line frequency extracted from the SAME row (third block)
+    # instead of a separate line_nu gather
+    nu_em = jnp.sum(jnp.where(sel, erow[:, 2 * We :], 0.0), axis=1)
+    return em_line.astype(I32), nu_em
 
 
 def _markov_interaction(tables, static, state0, shell, u1, u2):
@@ -883,18 +888,22 @@ def make_transport_step(
             else:
                 level = aux_ev[0].astype(I32)  # line2macro at i_event
                 if static.use_macro_chain:
-                    em_line = _chain_emission(
+                    em_line, nu_chain = _chain_emission(
                         tables, static, level, shell_c,
                         U[:, COL_MK_ROW], U[:, COL_FB],
                         U[:, COL_MK_DEACT], U[:, COL_FF],
                     )
+                    em_line = jnp.where(is_line, em_line, i_event)
+                    nu_line_em = jnp.where(is_line, nu_chain, nu_ev)
                 else:
                     em_line = _macro_walk(
                         tables, static, level, i_event, shell_c, walk_keys,
                         is_line,
                     )
-                em_line = jnp.where(is_line, em_line, i_event)
-                nu_line_em = tables.line_nu[jnp.clip(em_line, 0, L - 1)]
+                    em_line = jnp.where(is_line, em_line, i_event)
+                    nu_line_em = tables.line_nu[
+                        jnp.clip(em_line, 0, L - 1)
+                    ]
             nu_line_new = nu_line_em * inv_dop_new
             next_line_em = em_line + 1
         e_line = energy * dop_old_pos * inv_dop_new

@@ -250,6 +250,7 @@ class TransportSolver:
                     plasma_state.j_blues,
                     plasma_state.stimulated_emission_factor,
                     mode=self.line_interaction_type,
+                    line_nu_scaled=atom_data.line_nu / NU_UNIT,
                 )
             if macro_chain is None:
                 macro_state = solve_macro_state(
@@ -394,7 +395,6 @@ class TransportSolver:
         virt_edges = None
         vpackets = None
         if n_vpackets > 0:
-            from tardis_tpu.transport.device_state import NU_UNIT
             from tardis_tpu.transport.vpacket import trace_vpacket_records
 
             virt_edges = np.asarray(spectrum_nu_edges, dtype=np.float64)

@@ -67,7 +67,7 @@ def test_chain_matches_analytic_distribution(problem):
     ).astype(np.float64)
     mc = solve_macro_chain(
         macro, ps.beta_sobolev, ps.j_blues, ps.stimulated_emission_factor,
-        mode="macroatom",
+        mode="macroatom", line_nu_scaled=atom.line_nu / 1e15,
     )
     S = ps.beta_sobolev.shape[1]
     M = mc.n_states
@@ -86,9 +86,9 @@ def test_chain_matches_analytic_distribution(problem):
     B_row[base : base + kmax] = p_local[:kmax]
 
     # emission distribution implied by the emission CDF rows
-    # [cdf over We slots | line ids]
+    # [cdf over We slots | line ids | line nus]
     We = mc.emit_width
-    ec = np.asarray(mc.emit_cdf, np.float64).reshape(S, M, 2 * We)
+    ec = np.asarray(mc.emit_cdf, np.float64).reshape(S, M, 3 * We)
     L = atom.n_lines
     dist_tables = np.zeros(L)
     for j in range(M):
@@ -96,7 +96,7 @@ def test_chain_matches_analytic_distribution(problem):
             continue
         erow = ec[shell, j]
         pe = np.diff(np.concatenate([[0.0], erow[:We]]))
-        lines = erow[We:].astype(np.int64)
+        lines = erow[We : 2 * We].astype(np.int64)
         np.add.at(dist_tables, lines, B_row[j] * pe)
     dist_tables /= dist_tables.sum()
 
@@ -115,7 +115,9 @@ def test_chain_kernel_statistically_matches_walk(problem):
         ps.j_blues,
         ps.stimulated_emission_factor,
     )
-    mchain = solve_macro_chain(*args, mode="macroatom")
+    mchain = solve_macro_chain(
+        *args, mode="macroatom", line_nu_scaled=atom.line_nu / 1e15
+    )
     mwalk = solve_macro_state(*args)
     N = 20000
     key = jax.random.key(np.uint32(5))
@@ -161,7 +163,7 @@ def test_chain_downbranch_mode(problem):
         ps.beta_sobolev,
         ps.j_blues,
         ps.stimulated_emission_factor,
-        mode="downbranch",
+        mode="downbranch", line_nu_scaled=atom.line_nu / 1e15,
     )
     assert mchain.chain_cdf is None
     N = 5000
@@ -191,5 +193,6 @@ def test_chain_size_guard(problem):
         ps.stimulated_emission_factor,
         mode="macroatom",
         max_chain_bytes=1024,
+        line_nu_scaled=atom.line_nu / 1e15,
     )
     assert mc is None
