@@ -57,6 +57,12 @@ def _load():
     lib.tau_and_beta.argtypes = [
         f64p, f64p, f64p, ctypes.c_double, i64, i64, f64p, f64p,
     ]
+    lib.line_plasma_tables.argtypes = [
+        f64p, i32p, i32p, f64p, f64p, f64p, f64p, f64p, f64p,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double, i64, i64,
+        f64p, f64p, f64p, f64p,
+    ]
+    lib.line_plasma_tables.restype = ctypes.c_int
     lib.openmp_threads.restype = ctypes.c_int
     _lib = lib
     return lib
@@ -103,6 +109,43 @@ def macro_cum_probs(coef, line_idx, ttype, beta, jblue, stim, refs):
         T, M, S, out,
     )
     return out
+
+
+def line_plasma_tables(level_pop, lower_idx, upper_idx, g_lower, g_upper,
+                       wl_flu, line_nu, t_rad, w, coeff_texp, h_over_k,
+                       two_h_over_c2):
+    """Fused stim + tau_sobolev + beta_sobolev + dilute-Planck j_blues.
+
+    level_pop (Nlev, S) f64; line arrays (L,); t_rad/w (S,).  Returns
+    (stim, tau, beta, jb) each (L, S) f64, or None when the native
+    library is unavailable.  Raises on non-finite tau (matching
+    lte.tau_sobolev's guard)."""
+    lib = _load()
+    if lib is None:
+        return None
+    level_pop = np.ascontiguousarray(level_pop, np.float64)
+    L = len(wl_flu)
+    S = level_pop.shape[1]
+    stim = np.empty((L, S))
+    tau = np.empty((L, S))
+    beta = np.empty((L, S))
+    jb = np.empty((L, S))
+    bad = lib.line_plasma_tables(
+        level_pop,
+        np.ascontiguousarray(lower_idx, np.int32),
+        np.ascontiguousarray(upper_idx, np.int32),
+        np.ascontiguousarray(g_lower, np.float64),
+        np.ascontiguousarray(g_upper, np.float64),
+        np.ascontiguousarray(wl_flu, np.float64),
+        np.ascontiguousarray(line_nu, np.float64),
+        np.ascontiguousarray(t_rad, np.float64),
+        np.ascontiguousarray(w, np.float64),
+        float(coeff_texp), float(h_over_k), float(two_h_over_c2),
+        L, S, stim, tau, beta, jb,
+    )
+    if bad:
+        raise ValueError("non-finite tau_sobolev")
+    return stim, tau, beta, jb
 
 
 def tau_and_beta(wl_flu, stim, n_lower, coeff_texp):

@@ -99,6 +99,54 @@ void tau_and_beta(const double* wl_flu, const double* stim,
   }
 }
 
+// Fully fused per-iteration line-plasma tables (round 4):
+//   stim = clip(1 - g_l n_u / (g_u n_l), 0)        (no masers)
+//   tau  = coeff_texp * wl_flu[l] * stim * n_l
+//   beta = (1 - exp(-tau)) / tau                    (stable branches)
+//   jb   = w[s] * 2h nu^3/c^2 / (exp(min(h nu / k T_rad[s], 700)) - 1)
+// level_pop: (Nlev, S); all line arrays (L,); outputs (L, S).
+// Replaces four separate numpy passes (~0.5 s/iteration at kurucz scale
+// on this ~200 MB/s host) with one OpenMP sweep.
+// Returns 0 on success, 1 if any tau is non-finite.
+int line_plasma_tables(const double* level_pop, const int32_t* lower_idx,
+                       const int32_t* upper_idx, const double* g_lower,
+                       const double* g_upper, const double* wl_flu,
+                       const double* line_nu, const double* t_rad,
+                       const double* w, double coeff_texp,
+                       double h_over_k, double two_h_over_c2,
+                       int64_t L, int64_t S, double* stim, double* tau,
+                       double* beta, double* jb) {
+  int bad = 0;
+#pragma omp parallel for schedule(static) reduction(|| : bad)
+  for (int64_t l = 0; l < L; ++l) {
+    const double* nl_row = level_pop + (int64_t)lower_idx[l] * S;
+    const double* nu_row = level_pop + (int64_t)upper_idx[l] * S;
+    double gl = g_lower[l], gu = g_upper[l];
+    double c_tau = coeff_texp * wl_flu[l];
+    double nu3 = two_h_over_c2 * line_nu[l] * line_nu[l] * line_nu[l];
+    double x_nu = h_over_k * line_nu[l];
+    for (int64_t s = 0; s < S; ++s) {
+      double nl = nl_row[s];
+      double ratio = (gl * nu_row[s]) / (gu * nl);
+      double st = std::isfinite(ratio) ? 1.0 - ratio : 0.0;
+      if (st < 0.0) st = 0.0;
+      double t = c_tau * st * nl;
+      if (!std::isfinite(t)) bad = 1;
+      stim[l * S + s] = st;
+      tau[l * S + s] = t;
+      double b;
+      if (t > 1e3) b = 1.0 / t;
+      else if (t < 1e-4) b = 1.0 - 0.5 * t;
+      else b = -std::expm1(-t) / t;
+      beta[l * S + s] = b;
+      double x = x_nu / t_rad[s];
+      if (x > 700.0) x = 700.0;
+      jb[l * S + s] = w[s] * nu3 / std::expm1(x);
+    }
+  }
+  return bad;
+}
+
 int openmp_threads() {
 #ifdef _OPENMP
   return omp_get_max_threads();

@@ -349,29 +349,54 @@ class PlasmaSolver:
                     ion_density[self.species_ion_row[sp]] = he_ion[stage]
             ion_per_species = ion_density[self.species_ion_row]
 
-        n_lower = n_level[atom.line_lower_idx]
-        n_upper = n_level[atom.line_upper_idx]
-        g_lower = atom.level_g[atom.line_lower_idx]
-        g_upper = atom.level_g[atom.line_upper_idx]
-        stim = lte.stimulated_emission_factor(n_lower, n_upper, g_lower, g_upper)
-        tau = lte.tau_sobolev(
-            atom.line_wavelength_cm,
-            atom.line_f_lu,
-            self.time_explosion,
-            n_lower,
-            stim,
+        # fused native pass for the four (L, S) line tables (one OpenMP
+        # sweep instead of ~6 numpy passes over ~30 MB each — this host
+        # moves memory at ~200 MB/s); transparent numpy fallback
+        from tardis_tpu import native
+        from tardis_tpu.constants import C as C_LIGHT
+        from tardis_tpu.constants import H, K_B, SOBOLEV_COEFFICIENT
+
+        jb_w = (
+            np.ones_like(w)
+            if self.radiative_rates_type == "blackbody"
+            else w
         )
-        beta_sob = lte.beta_sobolev(tau)
+        fused = native.line_plasma_tables(
+            n_level, atom.line_lower_idx, atom.line_upper_idx,
+            atom.level_g[atom.line_lower_idx],
+            atom.level_g[atom.line_upper_idx],
+            atom.line_wavelength_cm * atom.line_f_lu,
+            atom.line_nu, t_rad, jb_w,
+            SOBOLEV_COEFFICIENT * self.time_explosion,
+            H / K_B, 2.0 * H / C_LIGHT**2,
+        )
+        if fused is not None:
+            stim, tau, beta_sob, jb_planck = fused
+        else:
+            n_lower = n_level[atom.line_lower_idx]
+            n_upper = n_level[atom.line_upper_idx]
+            g_lower = atom.level_g[atom.line_lower_idx]
+            g_upper = atom.level_g[atom.line_upper_idx]
+            stim = lte.stimulated_emission_factor(
+                n_lower, n_upper, g_lower, g_upper
+            )
+            tau = lte.tau_sobolev(
+                atom.line_wavelength_cm,
+                atom.line_f_lu,
+                self.time_explosion,
+                n_lower,
+                stim,
+            )
+            beta_sob = lte.beta_sobolev(tau)
+            jb_planck = jb_w[None, :] * lte.intensity_black_body(
+                atom.line_nu[:, None], t_rad[None, :]
+            )
 
         if self.radiative_rates_type == "detailed" and j_blues is not None:
             planck = lte.dilute_planck_j_blues(atom.line_nu, t_rad, w)
             jb = np.where(j_blues > 0, j_blues, self.w_epsilon * planck)
-        elif self.radiative_rates_type == "blackbody":
-            jb = lte.intensity_black_body(
-                atom.line_nu[:, None], t_rad[None, :]
-            ) * np.ones_like(w)[None, :]
-        else:  # dilute-blackbody
-            jb = lte.dilute_planck_j_blues(atom.line_nu, t_rad, w)
+        else:  # blackbody / dilute-blackbody (w baked into jb_planck)
+            jb = jb_planck
 
         return PlasmaState(
             t_rad=t_rad,
