@@ -230,18 +230,22 @@ def simulation_to_tardis_hdf(sim, path: str, name: str = "simulation"):
             tpath = f"{base}/transport/transport_state"
             L = sim.atom_data.n_lines
             S = st.no_of_shells
-            jb = np.asarray(res.j_blue_estimator)
             elements = {
                 "time_of_simulation": float(res.time_of_simulation),
                 "output_nu": np.asarray(res.output_nu),
                 "output_energy": np.asarray(res.output_energy),
                 "j_estimator": np.asarray(res.j_estimator),
                 "nu_bar_estimator": np.asarray(res.nu_bar_estimator),
-                "j_blue_estimator": pd.DataFrame(jb.reshape(L, S)),
                 "packet_luminosity": np.asarray(res.output_energy)
                 / float(res.time_of_simulation),
                 "emitted_packet_mask": np.asarray(res.output_status) == 1,
             }
+            # None during convergence iterations when the line-estimator
+            # readback was skipped (run_final always materializes it)
+            if res.j_blue_estimator is not None:
+                elements["j_blue_estimator"] = pd.DataFrame(
+                    np.asarray(res.j_blue_estimator).reshape(L, S)
+                )
             vp = getattr(res, "vpackets", None)
             if vp is not None:
                 # reference vpacket_hdf_properties
