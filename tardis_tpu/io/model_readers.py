@@ -815,3 +815,53 @@ def arepo_export_csvy(
     with open(fname, "w") as fh:
         fh.write("\n".join(lines) + "\n")
     return fname
+
+
+@dataclass
+class SNECIsotopeProfile:
+    """SNEC initial isotope-composition profile
+    (reference io/model/snec/snec_input.py:9-63)."""
+
+    enclosed_mass: np.ndarray  # (cells,) g
+    radius: np.ndarray  # (cells,) cm
+    # (cells, n_iso) mass fractions + the isotope labels per column
+    mass_fractions: np.ndarray
+    isotopes: list  # e.g. ['Ni56', 'He4', ...]
+
+
+def read_snec_isotope_profile(path: str) -> SNECIsotopeProfile:
+    """Read a SNEC ``.iso`` isotope-profile file (reference
+    read_snec_isotope_profile, snec_input.py:65-112): header line
+    ``rows cols``, then mass-number and neutron-number rows (Fortran
+    'd' exponents), then ``enclosed_mass radius X_1 X_2 ...`` rows."""
+    from tardis_tpu.atomic.atom_data import ATOMIC_SYMBOLS
+
+    with open(path) as fh:
+        rows, cols = map(int, fh.readline().split())
+        a_num = np.array(
+            [float(x) for x in fh.readline().replace("d", "e").split()]
+        ).astype(int)
+        n_num = np.array(
+            [float(x) for x in fh.readline().replace("d", "e").split()]
+        ).astype(int)
+        z_num = a_num - n_num
+        data = np.atleast_2d(
+            np.loadtxt((ln.replace("d", "e") for ln in fh))
+        )
+    mf = data[:, 2:]
+    if mf.shape != (rows, cols):
+        raise ValueError(
+            f"isotope table {mf.shape} does not match header ({rows}, "
+            f"{cols})"
+        )
+    labels = [
+        f"{ATOMIC_SYMBOLS[z - 1]}{a}" if 1 <= z <= len(ATOMIC_SYMBOLS)
+        else f"Z{z}A{a}"
+        for z, a in zip(z_num, a_num)
+    ]
+    return SNECIsotopeProfile(
+        enclosed_mass=data[:, 0],
+        radius=data[:, 1],
+        mass_fractions=mf,
+        isotopes=labels,
+    )

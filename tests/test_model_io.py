@@ -495,3 +495,33 @@ def test_arepo_full_profile_and_csvy_roundtrip(tmp_path, config):
         simulation_state_from_arepo(
             pos, vel, rho, mass, xnuc, t_snap, config, profile="bogus"
         )
+
+
+def test_snec_isotope_profile_reader(tmp_path):
+    """SNEC .iso isotope profile (reference snec_input.py:65-112):
+    Fortran 'd' exponents, A/N header rows -> labeled mass fractions."""
+    from tardis_tpu.io.model_readers import read_snec_isotope_profile
+
+    f = tmp_path / "profile.iso"
+    f.write_text(
+        "3 2\n"
+        "5.6d1 4.0d0\n"  # A = 56, 4
+        "2.8d1 2.0d0\n"  # N = 28, 2 -> Z = 28 (Ni), 2 (He)
+        "1.0d33 1.0d13 8.0d-1 2.0d-1\n"
+        "2.0d33 2.0d13 6.0d-1 4.0d-1\n"
+        "3.0d33 3.0d13 1.0d-1 9.0d-1\n"
+    )
+    prof = read_snec_isotope_profile(str(f))
+    assert prof.isotopes == ["Ni56", "He4"]
+    assert prof.mass_fractions.shape == (3, 2)
+    np.testing.assert_allclose(prof.enclosed_mass, [1e33, 2e33, 3e33])
+    np.testing.assert_allclose(prof.mass_fractions[0], [0.8, 0.2])
+    # header mismatch raises
+    f2 = tmp_path / "bad.iso"
+    f2.write_text(
+        "2 2\n5.6d1\n2.8d1\n1.0d33 1.0d13 1.0d0\n"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        read_snec_isotope_profile(str(f2))
