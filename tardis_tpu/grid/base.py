@@ -47,6 +47,33 @@ class TardisGrid:
         self.results[row_index] = sim
         return sim
 
+    def grid_row_to_simulation_state(self, row_index: int,
+                                     atom_data=None):
+        """SimulationState for one grid row without running the MC loop
+        (reference grid/base.py:94-113)."""
+        from tardis_tpu.model.state import SimulationState
+
+        del atom_data  # config-driven states need no atomic data here
+        return SimulationState.from_config(
+            self.grid_row_to_config(row_index)
+        )
+
+    def save_grid(self, filename: str):
+        """Write the parameter table as CSV (reference grid/base.py:133)."""
+        self.grid.to_csv(filename)
+
+    @classmethod
+    def from_axes(cls, config: dict, axesdict: dict, atom_data=None):
+        """Full Cartesian product of {dotted_key: values} axes
+        (reference grid/base.py:146-170)."""
+        axes = list(axesdict)
+        mesh = np.meshgrid(*[np.asarray(axesdict[a]) for a in axes],
+                           indexing="ij")
+        grid = pd.DataFrame(
+            {a: m.reshape(-1) for a, m in zip(axes, mesh)}
+        )
+        return cls(config, grid, atom_data=atom_data)
+
     def run(self):
         for i in range(len(self.grid)):
             self.run_sim_from_grid(i)
