@@ -156,6 +156,15 @@ class Simulation:
                 config.plasma.get("nlte", {}).get("classical_nebular", False)
             ),
         )
+        if int(config.montecarlo.get("nthreads", 1)) != 1:
+            # reference numba prange thread count; packet parallelism here
+            # is device-side (jax.sharding mesh), and the host table
+            # builds take OMP_NUM_THREADS
+            logger.info(
+                "montecarlo.nthreads is a no-op: packet parallelism runs "
+                "on the accelerator mesh; set OMP_NUM_THREADS for the "
+                "native host pipeline"
+            )
         virtual_cfg = config.spectrum.get("virtual", {})
         if virtual_cfg.get("enable_biasing", False):
             raise NotImplementedError(
