@@ -433,6 +433,13 @@ class Simulation:
         if self.last_transport_result is None:
             raise RuntimeError("run the simulation before integrating")
         integ_cfg = self.config.spectrum.get("integrated", {})
+        compute = str(integ_cfg.get("compute", "jax")).lower()
+        if compute not in ("jax", "cpu", "gpu", "automatic", ""):
+            raise ValueError(
+                f"spectrum.integrated.compute={compute!r}: the reference's "
+                "CPU/CUDA integrator split does not exist here — one "
+                "device path serves every backend"
+            )
         solver = FormalIntegralSolver(
             n_points=int(integ_cfg.get("points", 1000)),
             interpolate_shells=int(integ_cfg.get("interpolate_shells", 0)),
