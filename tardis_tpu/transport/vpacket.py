@@ -122,11 +122,94 @@ def _trace_tau(tables, static, r0, mu, shell0, next_line, nu_lab):
     return state[3]
 
 
+def trace_vpacket_records(
+    tables,
+    static,
+    vp_r,
+    vp_mu,
+    vp_nu,
+    vp_energy,
+    vp_shell,
+    vp_next_line,
+    n_vpackets: int,
+    nu_bin_edges,
+    n_bins: int,
+    spawn_nu_min=0.0,
+    spawn_nu_max=jnp.inf,
+    return_packets: bool = False,
+    max_rays_per_chunk: int = 8_388_608,
+):
+    """Chunked driver around the jitted volley pass.
+
+    The TPU worker on this stack kills any single XLA program running
+    longer than roughly a minute (the same watchdog run_transport chunks
+    around, kernel.py run_transport docstring): a production final
+    iteration spawns tens of millions of records x n_vpackets rays, so
+    the record axis is processed in host-side chunks bounded by
+    ``max_rays_per_chunk`` rays per program (zero-energy padding keeps
+    one compiled shape; the histogram is accumulated in f64).
+    """
+    import numpy as np
+
+    R = int(vp_r.shape[0])
+    chunk = max(max_rays_per_chunk // max(n_vpackets, 1), 1)
+    if R <= chunk:
+        return _trace_vpacket_records_chunk(
+            tables, static, vp_r, vp_mu, vp_nu, vp_energy, vp_shell,
+            vp_next_line, n_vpackets=n_vpackets,
+            nu_bin_edges=nu_bin_edges, n_bins=n_bins,
+            spawn_nu_min=spawn_nu_min, spawn_nu_max=spawn_nu_max,
+            return_packets=return_packets,
+        )
+
+    hist_acc = np.zeros(n_bins, np.float64)
+    nus, es, recs = [], [], []
+    pad_spec = None
+    for start in range(0, R, chunk):
+        end = min(start + chunk, R)
+        n_local = end - start
+        sl = slice(start, end)
+        args = [vp_r[sl], vp_mu[sl], vp_nu[sl], vp_energy[sl],
+                vp_shell[sl], vp_next_line[sl]]
+        if n_local < chunk:
+            pad = chunk - n_local
+            if pad_spec is None:
+                pad_spec = [
+                    jnp.zeros(pad, a.dtype) for a in args
+                ]
+            args = [
+                jnp.concatenate([a, z]) for a, z in zip(args, pad_spec)
+            ]
+        out = _trace_vpacket_records_chunk(
+            tables, static, *args, n_vpackets=n_vpackets,
+            nu_bin_edges=nu_bin_edges, n_bins=n_bins,
+            spawn_nu_min=spawn_nu_min, spawn_nu_max=spawn_nu_max,
+            return_packets=return_packets,
+        )
+        if return_packets:
+            h, vnu, ve, rec_idx = out
+            keep = np.asarray(rec_idx) < n_local  # drop padding rays
+            nus.append(np.asarray(vnu)[keep])
+            es.append(np.asarray(ve)[keep])
+            recs.append(np.asarray(rec_idx)[keep] + start)
+        else:
+            h = out
+        hist_acc += np.asarray(h, np.float64)
+    if return_packets:
+        return (
+            hist_acc,
+            np.concatenate(nus),
+            np.concatenate(es),
+            np.concatenate(recs),
+        )
+    return hist_acc
+
+
 @partial(
     jax.jit,
     static_argnames=("static", "n_vpackets", "n_bins", "return_packets"),
 )
-def trace_vpacket_records(
+def _trace_vpacket_records_chunk(
     tables: TransportTables,
     static: TransportStaticConfig,
     vp_r,

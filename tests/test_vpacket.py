@@ -128,3 +128,50 @@ def test_vpacket_full_relativity_converges_to_partial(vp_setup):
     den = out2["part"].sum()
     rel2 = num / den
     assert rel2 < max(rel1 / 5.0, 2e-3), (rel1, rel2)
+
+
+def test_vpacket_record_chunking_invariance(vp_setup):
+    """The host-side record chunking (axon per-program watchdog
+    workaround) reproduces the single-program volley pass, histogram and
+    per-vpacket tracking alike."""
+    from tardis_tpu.transport.vpacket import trace_vpacket_records
+    from tardis_tpu.utils.search import searchsorted_unrolled
+
+    tables, static_part, _ = vp_setup
+    rng = np.random.default_rng(7)
+    R = 100  # deliberately NOT divisible by the forced chunk size
+    r_lo, r_hi = float(tables.r_inner[0]), float(tables.r_outer[-1])
+    vp_r = jnp.asarray(rng.uniform(r_lo, r_hi * 0.98, R), jnp.float32)
+    vp_mu = jnp.asarray(rng.uniform(-1.0, 1.0, R), jnp.float32)
+    nu_mid = float(-tables.neg_line_nu[len(tables.neg_line_nu) // 2])
+    vp_nu = jnp.asarray(nu_mid * rng.uniform(0.9, 1.3, R), jnp.float32)
+    vp_energy = jnp.ones(R, jnp.float32)
+    vp_shell = jnp.asarray(
+        np.searchsorted(np.asarray(tables.r_outer), np.asarray(vp_r)),
+        jnp.int32,
+    )
+    nu_cmf0 = vp_nu * (1.0 - vp_mu * vp_r)
+    vp_next = searchsorted_unrolled(
+        tables.neg_line_nu, -nu_cmf0, side="left"
+    ).astype(jnp.int32)
+    edges = jnp.linspace(nu_mid * 0.3, nu_mid * 2.0, 41,
+                         dtype=jnp.float32)
+
+    kw = dict(n_vpackets=4, nu_bin_edges=edges, n_bins=40,
+              return_packets=True)
+    h1, nu1, e1, rec1 = trace_vpacket_records(
+        tables, static_part, vp_r, vp_mu, vp_nu, vp_energy, vp_shell,
+        vp_next, **kw,
+    )
+    # force 4 chunks of 32 records (last one padded)
+    h2, nu2, e2, rec2 = trace_vpacket_records(
+        tables, static_part, vp_r, vp_mu, vp_nu, vp_energy, vp_shell,
+        vp_next, max_rays_per_chunk=32 * 4, **kw,
+    )
+    np.testing.assert_allclose(np.asarray(h2), np.asarray(h1),
+                               rtol=1e-6, atol=1e-6)
+    # same rays survive, same record attribution (order differs by chunk:
+    # compare as (record, nu, e) multisets)
+    a = sorted(zip(np.asarray(rec1), np.asarray(nu1), np.asarray(e1)))
+    b = sorted(zip(np.asarray(rec2), np.asarray(nu2), np.asarray(e2)))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
