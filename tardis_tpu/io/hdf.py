@@ -190,11 +190,21 @@ def load_simulation_state(path: str, name: str = "simulation") -> dict:
             "t_radiative": store[
                 f"/{name}/simulation_state/t_radiative"
             ][()],
+            "electron_densities": (
+                store[f"/{name}/simulation_state/electron_densities"][()]
+                if f"/{name}/simulation_state/electron_densities" in store
+                else None
+            ),
             "dilution_factor": store[
                 f"/{name}/simulation_state/dilution_factor"
             ][()],
             "iterations_executed": int(scalars["iterations_executed"]),
             "seed": int(scalars["seed"]),
+            "damping": {
+                k[len("damping_"):]: float(scalars[k])
+                for k in scalars
+                if k.startswith("damping_")
+            },
         }
 
 
@@ -206,5 +216,52 @@ def resume_simulation(sim, path: str, name: str = "simulation"):
     sim.state.t_radiative = ckpt["t_radiative"]
     sim.state.dilution_factor = ckpt["dilution_factor"]
     sim.iterations_executed = ckpt["iterations_executed"]
+    for key, d in ckpt.get("damping", {}).items():
+        if key in sim.convergence_solvers:
+            sim.convergence_solvers[key].damping_constant = d
+    if ckpt.get("electron_densities") is not None:
+        sim.plasma_solver._last_n_e = ckpt["electron_densities"]
     sim.plasma_state = None
     return sim
+
+
+def save_checkpoint(sim, path: str, name: str = "simulation"):
+    """Write the MINIMAL resume state ({t_rad, W, t_inner, iteration,
+    seed}) — milliseconds per call, safe to run every iteration.
+
+    Layout-compatible with :func:`load_simulation_state` /
+    :func:`resume_simulation`; written atomically (tmp file + rename) so
+    a crash mid-write cannot corrupt the previous checkpoint.
+    """
+    import os
+
+    tmp = path + ".tmp"
+    with h5py.File(tmp, "w") as store:
+        g = store.create_group(f"/{name}/simulation_state")
+        sc = g.create_group("scalars")
+        sc.attrs["t_inner"] = float(sim.state.t_inner)
+        sc.attrs["iterations_executed"] = int(sim.iterations_executed)
+        sc.attrs["seed"] = int(sim.seed)
+        # mutable convergence-solver state: the adaptive_damped strategy
+        # locally searches and UPDATES its damping constant each
+        # iteration, so a bit-faithful resume must restore it
+        for key, solver in sim.convergence_solvers.items():
+            sc.attrs[f"damping_{key}"] = float(solver.damping_constant)
+        g.create_dataset(
+            "t_radiative", data=np.asarray(sim.state.t_radiative)
+        )
+        g.create_dataset(
+            "dilution_factor",
+            data=np.asarray(sim.state.dilution_factor),
+        )
+        # the plasma solver warm-starts its n_e fixpoint; a BIT-faithful
+        # resume must re-run the most recent solve with the exact seed it
+        # consumed (seeding with the converged value would re-converge to
+        # a last-ulp-different fixpoint and fork the trajectory)
+        seed = getattr(sim.plasma_solver, "_n_e_seed_used", None)
+        if seed is not None:
+            g.create_dataset(
+                "electron_densities", data=np.asarray(seed)
+            )
+    os.replace(tmp, path)
+    return path

@@ -85,6 +85,9 @@ class PlasmaSolver:
                 "helium_treatment and He in nlte_species are exclusive"
             )
         self._last_n_e = None
+        # seed actually consumed by the most recent update's n_e
+        # fixpoint (checkpoint/resume re-runs that solve bitwise)
+        self._n_e_seed_used = None
 
         self._build_index_maps(simulation_state)
 
@@ -199,6 +202,7 @@ class PlasmaSolver:
         (estimator-derived mean intensities at the line blue wings).
         """
         atom = self.atom
+        seed_n_e = self._last_n_e  # fixpoint seed (checkpointed for resume)
         beta = lte.beta_rad(t_rad)
         t_electrons = self.link_t_rad_t_electron * t_rad
         beta_el = lte.beta_rad(t_electrons)
@@ -300,6 +304,7 @@ class PlasmaSolver:
                 n_electron_init=self._last_n_e,
                 electron_densities=self._fixed_electron_densities,
             )
+        self._n_e_seed_used = seed_n_e
         self._last_n_e = n_e
         ion_per_species = ion_density[self.species_ion_row]
         n_level = lte.level_number_density(

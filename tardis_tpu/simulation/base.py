@@ -356,12 +356,27 @@ class Simulation:
         return converged
 
     # ------------------------------------------------------------------
-    def run_convergence(self):
-        """The main convergence loop (reference simulation/base.py:492-523)."""
-        for iteration in range(self.iterations - 1):
+    def run_convergence(self, checkpoint_path: str | None = None):
+        """The main convergence loop (reference simulation/base.py:492-523).
+
+        ``checkpoint_path``: write the minimal resume state after every
+        iteration (io/hdf.py save_checkpoint; atomic, milliseconds) so an
+        interrupted run continues from the last completed iteration with
+        ``io.hdf.resume_simulation`` — the accelerator service this runs
+        on can restart mid-run, and long production runs should survive
+        that.  Resume starts at ``iterations_executed``, and the
+        per-iteration RNG keys are derived from (seed, iteration), so the
+        continued trajectory is the one the uninterrupted run would have
+        taken."""
+        if checkpoint_path is not None:
+            from tardis_tpu.io.hdf import save_checkpoint
+        for iteration in range(self.iterations_executed,
+                               self.iterations - 1):
             result = self.iterate(self.no_of_packets, iteration)
             converged = self.advance_state(result, iteration)
             self.iterations_executed += 1
+            if checkpoint_path is not None:
+                save_checkpoint(self, checkpoint_path)
             for cb in self._callbacks:
                 cb(self)
             if converged and self.stop_if_converged:

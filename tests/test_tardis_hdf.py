@@ -98,3 +98,66 @@ def test_simulation_tardis_layout(small_sim, tmp_path):
     # per-iteration history frames (TARDISHistory's food)
     itw = store["/simulation/iterations_t_rad"]
     assert itw.shape[1] == small_sim.state.no_of_shells
+
+
+def test_auto_checkpoint_resume_bitwise(tmp_path, atom_data_prepared):
+    """run_convergence(checkpoint_path=...) + resume_simulation continue an
+    interrupted run on the exact trajectory of the uninterrupted one (the
+    per-iteration RNG is keyed by (seed, iteration) and the plasma state
+    is a pure function of {t_rad, W, t_inner})."""
+    import copy
+
+    from tardis_tpu.config.reader import config_from_dict
+    from tardis_tpu.io.hdf import resume_simulation
+    from tardis_tpu.simulation.base import Simulation
+    from tests.test_plasma import BASE_CONFIG
+
+    cfg = copy.deepcopy(BASE_CONFIG)
+    cfg["montecarlo"] = dict(
+        cfg["montecarlo"], no_of_packets=1024, last_no_of_packets=1024,
+        iterations=6, seed=77,
+    )
+    ckpt = str(tmp_path / "run.ckpt.h5")
+
+    # uninterrupted reference run
+    sim_full = Simulation.from_config(
+        config_from_dict(cfg), atom_data=atom_data_prepared
+    )
+    sim_full.run_convergence()
+
+    # interrupted run: stop after 3 iterations (simulated crash)
+    sim_a = Simulation.from_config(
+        config_from_dict(cfg), atom_data=atom_data_prepared
+    )
+    class _Stop(Exception):
+        pass
+
+    def crash(s):
+        if s.iterations_executed == 3:
+            raise _Stop
+
+    sim_a.add_callback(crash)
+    try:
+        sim_a.run_convergence(checkpoint_path=ckpt)
+    except _Stop:
+        pass
+    assert sim_a.iterations_executed == 3
+
+    # fresh process analogue: new Simulation, resume, continue
+    sim_b = Simulation.from_config(
+        config_from_dict(cfg), atom_data=atom_data_prepared
+    )
+    resume_simulation(sim_b, ckpt)
+    assert sim_b.iterations_executed == 3
+    sim_b.run_convergence(checkpoint_path=ckpt)
+    assert sim_b.iterations_executed == sim_full.iterations_executed
+
+    np.testing.assert_array_equal(
+        np.asarray(sim_b.state.t_radiative),
+        np.asarray(sim_full.state.t_radiative),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sim_b.state.dilution_factor),
+        np.asarray(sim_full.state.dilution_factor),
+    )
+    assert sim_b.state.t_inner == sim_full.state.t_inner
