@@ -33,6 +33,12 @@ def main():
     ap.add_argument("--vpackets", type=int, default=2)
     ap.add_argument("--levels", type=int, default=200)
     ap.add_argument("--jump", type=int, default=60)
+    ap.add_argument(
+        "--checkpoint", default=None,
+        help="checkpoint file: written every iteration; if it already "
+        "exists the run RESUMES from it (an outer retry loop makes the "
+        "run survive accelerator-service restarts)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -55,10 +61,20 @@ def main():
         },
     )
     sim = Simulation.from_config(config, atom_data=atom)
+    resumed_from = 0
+    if args.checkpoint:
+        import os
+
+        from tardis_tpu.io.hdf import resume_simulation
+
+        if os.path.exists(args.checkpoint):
+            resume_simulation(sim, args.checkpoint)
+            resumed_from = sim.iterations_executed
+            print(f"# resuming from iteration {resumed_from}", flush=True)
     setup_s = time.time() - t_setup0
 
     t0 = time.time()
-    sim.run_convergence()
+    sim.run_convergence(checkpoint_path=args.checkpoint)
     convergence_s = time.time() - t0
 
     t1 = time.time()
@@ -88,6 +104,7 @@ def main():
         "final_iteration_s": round(final_s, 2),
         "formal_integral_s": round(integral_s, 2),
         "total_s": round(convergence_s + final_s + integral_s, 2),
+        "resumed_from_iteration": resumed_from,
         "e2e_packets_per_s": round(
             total_packets / (convergence_s + final_s), 1
         ),
