@@ -262,7 +262,13 @@ def _distance_boundary(r, mu, r_in, r_out):
         jnp.maximum(r_out * r_out + (mu * mu - 1.0) * r * r, 0.0)
     ) - r * mu
     check = r_in * r_in + r * r * (mu * mu - 1.0)
-    hits_inner = (mu <= 0.0) & (check >= 0.0)
+    # STRICTLY inward only: a tangential ray (mu == 0) grazes and exits
+    # outward.  Under f32 a scatter can land a packet at exactly mu = 0 ON
+    # a shell boundary; with `mu <= 0` that state alternated zero-distance
+    # inner/outer crossings forever — an immortal lane that ran the
+    # while_loop into the platform's program-wall-time watchdog (found by
+    # the 20-iteration production run at iteration 18)
+    hits_inner = (mu < 0.0) & (check >= 0.0)
     in_d = -r * mu - jnp.sqrt(jnp.maximum(check, 0.0))
     distance = jnp.where(hits_inner, in_d, out_d)
     delta = jnp.where(hits_inner, -1, 1).astype(I32)
@@ -1217,9 +1223,19 @@ def run_transport(
     chunk therefore bounds per-kernel wall time, NOT device memory; raise
     it on runtimes without the watchdog.
     """
+    import logging
+
     import numpy as np
 
     batch = min(batch_size, n_packets)
+    if max_steps >= 1 << 30:
+        # immortal-lane failsafe: a legitimate chunk needs
+        # ~n_local/batch x events-per-packet steps (a few hundred at
+        # production scale); 20k is a ~50x margin.  A kernel bug that
+        # leaves a lane alive forever then costs bounded time + a loud
+        # warning instead of tripping the platform watchdog and killing
+        # the worker (which is unrecoverable in-process)
+        max_steps = 20_000
     if chunk_size <= 0:
         chunk_size = n_packets
     if progress is not None:
@@ -1256,6 +1272,13 @@ def run_transport(
             jax.block_until_ready(carry.n_steps)
             progress(min(start + n_local, n_packets), n_packets)
     if not (0 < tail_batch < batch):
+        n_alive = int(np.asarray(carry.alive).sum())
+        if n_alive:
+            logging.getLogger(__name__).warning(
+                "%d packet lane(s) force-terminated after %d steps "
+                "(immortal-lane guard) — their packets carry no output",
+                n_alive, max_steps,
+            )
         return carry
 
     # final tail repack: compact survivors into a narrow lane batch
@@ -1279,7 +1302,7 @@ def run_transport(
         next_line=take(carry.next_line), pkt_id=take(carry.pkt_id),
         event_idx=take(carry.event_idx), alive=take(carry.alive) & mask,
     )
-    return _run_tail_jit(
+    carry = _run_tail_jit(
         tables, static,
         pool_mu[last_start:], pool_nu_cmf[last_start:],
         base_key, tail0,
@@ -1288,6 +1311,14 @@ def run_transport(
         n_out=n_packets,
         pool_w=None if pool_w is None else pool_w[last_start:],
     )
+    n_alive = int(np.asarray(carry.alive).sum())
+    if n_alive:
+        logging.getLogger(__name__).warning(
+            "%d packet lane(s) force-terminated after %d steps "
+            "(immortal-lane guard) — their packets carry no output",
+            n_alive, max_steps,
+        )
+    return carry
 
 
 # backwards-compatible alias: a chunked run IS the plain run now

@@ -141,7 +141,7 @@ def propagate_packet_iip(
         chi = chi_cmf * dop  # full relativity (iip packet_propagation:142)
 
         r_in, r_out = T.r_inner[shell], T.r_outer[shell]
-        if mu > 0.0:
+        if mu >= 0.0:  # tangential rays graze outward (kernel parity)
             d_b = np.sqrt(r_out**2 + (mu * mu - 1.0) * r * r) - r * mu
             delta = 1
         else:
