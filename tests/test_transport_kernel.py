@@ -309,3 +309,49 @@ def test_chunked_pool_bitwise_identical(setup):
     np.testing.assert_allclose(
         np.asarray(c_plain.est_j), np.asarray(c_chunk.est_j), rtol=1e-5
     )
+
+
+def test_tangential_boundary_packet_terminates(setup):
+    """mu == 0.0 exactly ON a shell boundary must graze OUTWARD and
+    terminate.  Under f32 a scatter can produce this state; with the old
+    `mu <= 0` inner-boundary branch it alternated zero-distance
+    inner/outer crossings forever (the immortal lane that crashed the
+    20-iteration production run), so this is the direct regression
+    probe: drive the trap state through transport_loop and assert the
+    lane dies in a bounded number of steps."""
+    import jax.numpy as jnp
+
+    from tardis_tpu.transport.kernel import (
+        init_carry,
+        transport_loop,
+    )
+
+    cfg, state, atom, ps, tables, static = setup
+    # craft a lane sitting exactly on the shell-2/3 boundary with mu = 0
+    B = 8
+    carry = init_carry(static, B, B)
+    r_b = tables.r_outer[2]  # == r_inner[3] in kernel units
+    nu0 = jnp.full(B, float(-tables.neg_line_nu[10]) * 1.001, jnp.float32)
+    carry = carry._replace(
+        r=jnp.full(B, r_b, jnp.float32),
+        mu=jnp.zeros(B, jnp.float32),
+        nu=nu0,
+        energy=jnp.ones(B, jnp.float32),
+        shell=jnp.full(B, 2, jnp.int32),
+        next_line=jnp.full(B, 11, jnp.int32),
+        pkt_id=jnp.arange(B, dtype=jnp.int32),
+        alive=jnp.ones(B, bool),
+        next_unborn=jnp.asarray(B, jnp.int32),  # pool exhausted
+    )
+    key = jax.random.key(np.uint32(3))
+    pool_mu = jnp.zeros(B, jnp.float32)
+    pool_nu = nu0
+    out = transport_loop(
+        tables, static, pool_mu, pool_nu, key,
+        n_packets=B, batch_size=B, max_steps=3000, carry0=carry,
+    )
+    alive = np.asarray(out.alive)
+    assert not alive.any(), (
+        f"{alive.sum()} tangential-boundary lanes still alive after 3000 "
+        "steps (immortal-lane regression)"
+    )
