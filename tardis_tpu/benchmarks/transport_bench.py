@@ -273,6 +273,7 @@ def bench_e2e(
         iterate_s.append(tb - ta)
         advance_s.append(tc - tb)
     total = time.time() - t_all
+    best_iter = min(a + b for a, b in zip(iterate_s, advance_s))
     return {
         "n_packets_per_iteration": n_packets,
         "n_iterations": n_iterations,
@@ -281,6 +282,11 @@ def bench_e2e(
         "iterate_s": iterate_s,  # transport + macro/table builds
         "advance_s": advance_s,  # inversion + convergence + plasma solve
         "e2e_packets_per_s": n_packets * n_iterations / total,
+        # the 2-core host shares this box with the TPU tunnel and other
+        # tenants; host-bound phases vary ~2x run to run, so the best
+        # iteration is also reported as the contention-free figure
+        "best_iteration_s": best_iter,
+        "best_e2e_packets_per_s": n_packets / best_iter,
         "platform": jax.devices()[0].platform,
     }
 
