@@ -1229,13 +1229,14 @@ def run_transport(
 
     batch = min(batch_size, n_packets)
     if max_steps >= 1 << 30:
-        # immortal-lane failsafe: a legitimate chunk needs
-        # ~n_local/batch x events-per-packet steps (a few hundred at
-        # production scale); 20k is a ~50x margin.  A kernel bug that
-        # leaves a lane alive forever then costs bounded time + a loud
-        # warning instead of tripping the platform watchdog and killing
-        # the worker (which is unrecoverable in-process)
-        max_steps = 20_000
+        # immortal-lane failsafe: the lockstep loop runs as long as the
+        # WORST packet's event count, and continuum-thick (IIP) states
+        # legitimately random-walk single packets through 10^4-10^5
+        # events, so the ceiling must sit far above that tail.  A kernel
+        # bug that leaves a lane alive forever (e.g. the round-4
+        # tangential-boundary trap) then costs bounded time + a loud
+        # warning instead of looping until the platform kills the worker
+        max_steps = 500_000
     if chunk_size <= 0:
         chunk_size = n_packets
     if progress is not None:
