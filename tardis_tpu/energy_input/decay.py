@@ -30,7 +30,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from tardis_tpu.constants import DAY, M_U
+from tardis_tpu.constants import M_U
 from tardis_tpu.model.decay import _HALF_LIVES, _chain, parse_isotope
 
 KEV = 1.602176634e-9  # erg

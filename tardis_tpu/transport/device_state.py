@@ -30,7 +30,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from tardis_tpu.constants import C, SIGMA_THOMSON
-from tardis_tpu.utils.twofloat import split_f64_to_f32_pair
 
 NU_UNIT = 1.0e15  # Hz
 
