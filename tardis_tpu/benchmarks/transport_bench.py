@@ -291,6 +291,70 @@ def bench_e2e(
     }
 
 
+def bench_final_iteration(
+    n_packets=2_097_152,
+    n_vpackets=2,
+    batch_size=131072,
+    n_levels=200,
+    max_level_jump=60,
+    mode="macroatom",
+    n_spectrum_bins=10000,
+):
+    """Final-iteration benchmark (VERDICT r4 item 2): the high-statistics
+    spectral iteration with the virtual-packet volley pass and full
+    line-estimator materialization — the production cost a convergence-only
+    e2e number hides (PRODUCTION_RUN_r04: the final iteration was 46% of a
+    305 s run).  One untimed warm-up pays XLA compiles; the timed run is
+    the steady-state cost of ``Simulation.run_final``.
+    """
+    import time as _time
+
+    import jax
+
+    from tardis_tpu.simulation.base import Simulation
+
+    config, state, atom, plasma = build_problem(
+        n_levels, max_level_jump, mode,
+        mc_overrides={
+            "no_of_packets": n_packets,
+            "iterations": 3,
+            "last_no_of_packets": n_packets,
+            "no_of_virtual_packets": n_vpackets,
+            "batch_size": batch_size,
+            "tracking": {"track_last_interaction": False},
+        },
+    )
+    config["spectrum"]["num"] = n_spectrum_bins
+    sim = Simulation.from_config(config, atom_data=atom)
+    sim._solve_plasma()
+    res = sim.iterate(n_packets, 0)
+    sim.advance_state(res, 0)
+
+    times = []
+    vp_records = 0
+    for rep in range(2):
+        sim.iterations_executed = 1 + rep
+        t0 = _time.time()
+        sim.run_final()
+        times.append(_time.time() - t0)
+        vp_records = sim.last_transport_result.vp_records
+    best = min(times)
+    return {
+        "n_packets": n_packets,
+        "n_vpackets": n_vpackets,
+        "n_spectrum_bins": n_spectrum_bins,
+        "vp_spawn_records": int(vp_records),
+        "n_rays": int(vp_records) * n_vpackets,
+        "time_s": best,
+        "first_time_s": times[0],
+        "packets_per_s": n_packets / best,
+        "spectrum_virtual_finite": bool(
+            np.isfinite(sim.spectrum_virtual.luminosity_nu).all()
+        ),
+        "platform": jax.devices()[0].platform,
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--packets", type=int, default=1_000_000)
@@ -303,6 +367,11 @@ def main():
     ap.add_argument(
         "--e2e-iters", type=int, default=0,
         help="also run an N-iteration end-to-end convergence-loop bench",
+    )
+    ap.add_argument(
+        "--final-vpackets", type=int, default=0,
+        help="also run the final-iteration bench (spectral iteration with "
+        "N virtual packets per interaction + line estimators)",
     )
     ap.add_argument(
         "--roofline", action="store_true",
@@ -354,6 +423,15 @@ def main():
         )
         out["e2e"]["ratio_vs_kernel"] = round(
             out["e2e"]["e2e_s_per_iteration"] / out["time_s"], 3
+        )
+    if args.final_vpackets > 0:
+        out["final_iteration"] = bench_final_iteration(
+            n_packets=args.packets,
+            n_vpackets=args.final_vpackets,
+            batch_size=args.batch,
+            n_levels=args.levels,
+            max_level_jump=args.jump,
+            mode=args.mode,
         )
     if args.platform and out["platform"] != args.platform:
         raise SystemExit(

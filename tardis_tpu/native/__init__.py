@@ -63,6 +63,13 @@ def _load():
         f64p, f64p, f64p, f64p,
     ]
     lib.line_plasma_tables.restype = ctypes.c_int
+    if hasattr(lib, "line_plasma_tables2"):
+        lib.line_plasma_tables2.argtypes = [
+            f64p, i32p, i32p, f64p, f64p, f64p, f64p, f64p, f64p,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double, i64, i64,
+            f64p, f64p, f64p, f64p, f32p, f32p, f32p, f32p, f32p,
+        ]
+        lib.line_plasma_tables2.restype = ctypes.c_int
     lib.openmp_threads.restype = ctypes.c_int
     _lib = lib
     return lib
@@ -146,6 +153,51 @@ def line_plasma_tables(level_pop, lower_idx, upper_idx, g_lower, g_upper,
     if bad:
         raise ValueError("non-finite tau_sobolev")
     return stim, tau, beta, jb
+
+
+def line_plasma_tables_full(level_pop, lower_idx, upper_idx, g_lower,
+                            g_upper, wl_flu, line_nu, t_rad, w, coeff_texp,
+                            h_over_k, two_h_over_c2):
+    """line_plasma_tables + f32 copies + fused two-float tau prefix.
+
+    Returns (stim, tau, beta, jb, stim32, beta32, jb32, pref_hi, pref_lo)
+    or None when the native library (or the round-5 entry point) is
+    unavailable.  The f32 copies are bit-identical to ``astype(float32)``
+    of the f64 outputs; pref_hi/lo match ``prefix_split(tau)``.  One
+    OpenMP sweep replaces the separate numpy casts (~0.2 s/iteration on
+    this host) and the prefix pass's second full read of tau.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "line_plasma_tables2"):
+        return None
+    level_pop = np.ascontiguousarray(level_pop, np.float64)
+    L = len(wl_flu)
+    S = level_pop.shape[1]
+    stim = np.empty((L, S))
+    tau = np.empty((L, S))
+    beta = np.empty((L, S))
+    jb = np.empty((L, S))
+    stim32 = np.empty((L, S), np.float32)
+    beta32 = np.empty((L, S), np.float32)
+    jb32 = np.empty((L, S), np.float32)
+    pref_hi = np.empty((S, L + 1), np.float32)
+    pref_lo = np.empty((S, L + 1), np.float32)
+    bad = lib.line_plasma_tables2(
+        level_pop,
+        np.ascontiguousarray(lower_idx, np.int32),
+        np.ascontiguousarray(upper_idx, np.int32),
+        np.ascontiguousarray(g_lower, np.float64),
+        np.ascontiguousarray(g_upper, np.float64),
+        np.ascontiguousarray(wl_flu, np.float64),
+        np.ascontiguousarray(line_nu, np.float64),
+        np.ascontiguousarray(t_rad, np.float64),
+        np.ascontiguousarray(w, np.float64),
+        float(coeff_texp), float(h_over_k), float(two_h_over_c2),
+        L, S, stim, tau, beta, jb, stim32, beta32, jb32, pref_hi, pref_lo,
+    )
+    if bad:
+        raise ValueError("non-finite tau_sobolev")
+    return stim, tau, beta, jb, stim32, beta32, jb32, pref_hi, pref_lo
 
 
 def tau_and_beta(wl_flu, stim, n_lower, coeff_texp):

@@ -147,6 +147,74 @@ int line_plasma_tables(const double* level_pop, const int32_t* lower_idx,
   return bad;
 }
 
+// Round-5 extension of line_plasma_tables: same fused sweep, but ALSO
+// emits (a) float32 copies of stim/beta/jb — the dtypes the device
+// macro-chain build consumes, previously re-cast by numpy at ~0.2 s per
+// iteration on this host — and (b) the per-shell two-float prefix split
+// of tau (prefix_split fused in, saving a second full read of tau).
+// All casts are round-to-nearest double->float, bit-identical to numpy's
+// astype, so downstream trajectories are unchanged.
+int line_plasma_tables2(const double* level_pop, const int32_t* lower_idx,
+                        const int32_t* upper_idx, const double* g_lower,
+                        const double* g_upper, const double* wl_flu,
+                        const double* line_nu, const double* t_rad,
+                        const double* w, double coeff_texp,
+                        double h_over_k, double two_h_over_c2,
+                        int64_t L, int64_t S, double* stim, double* tau,
+                        double* beta, double* jb, float* stim32,
+                        float* beta32, float* jb32, float* pref_hi,
+                        float* pref_lo) {
+  int bad = 0;
+#pragma omp parallel for schedule(static) reduction(|| : bad)
+  for (int64_t l = 0; l < L; ++l) {
+    const double* nl_row = level_pop + (int64_t)lower_idx[l] * S;
+    const double* nu_row = level_pop + (int64_t)upper_idx[l] * S;
+    double gl = g_lower[l], gu = g_upper[l];
+    double c_tau = coeff_texp * wl_flu[l];
+    double nu3 = two_h_over_c2 * line_nu[l] * line_nu[l] * line_nu[l];
+    double x_nu = h_over_k * line_nu[l];
+    for (int64_t s = 0; s < S; ++s) {
+      double nl = nl_row[s];
+      double ratio = (gl * nu_row[s]) / (gu * nl);
+      double st = std::isfinite(ratio) ? 1.0 - ratio : 0.0;
+      if (st < 0.0) st = 0.0;
+      double t = c_tau * st * nl;
+      if (!std::isfinite(t)) bad = 1;
+      stim[l * S + s] = st;
+      tau[l * S + s] = t;
+      double b;
+      if (t > 1e3) b = 1.0 / t;
+      else if (t < 1e-4) b = 1.0 - 0.5 * t;
+      else b = -std::expm1(-t) / t;
+      beta[l * S + s] = b;
+      double x = x_nu / t_rad[s];
+      if (x > 700.0) x = 700.0;
+      double j = w[s] * nu3 / std::expm1(x);
+      jb[l * S + s] = j;
+      stim32[l * S + s] = (float)st;
+      beta32[l * S + s] = (float)b;
+      jb32[l * S + s] = (float)j;
+    }
+  }
+  // fused prefix split (second pass over the just-written tau; replaces
+  // the separate prefix_split call's full re-read)
+#pragma omp parallel for schedule(static)
+  for (int64_t s = 0; s < S; ++s) {
+    double acc = 0.0;
+    float* hrow = pref_hi + s * (L + 1);
+    float* lrow = pref_lo + s * (L + 1);
+    hrow[0] = 0.0f;
+    lrow[0] = 0.0f;
+    for (int64_t i = 0; i < L; ++i) {
+      acc += tau[i * S + s];
+      float h = (float)acc;
+      hrow[i + 1] = h;
+      lrow[i + 1] = (float)(acc - (double)h);
+    }
+  }
+  return bad;
+}
+
 int openmp_threads() {
 #ifdef _OPENMP
   return omp_get_max_threads();

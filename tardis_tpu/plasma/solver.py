@@ -32,6 +32,16 @@ class PlasmaState:
     stimulated_emission_factor: np.ndarray  # (L, S)
     beta_sobolev: np.ndarray  # (L, S)
     j_blues: np.ndarray  # (L, S)
+    # round 5: float32 copies + two-float tau prefix emitted by the fused
+    # native pass (bit-identical to astype/prefix_split of the f64 fields;
+    # None on the numpy fallback path).  The transport solver consumes
+    # these directly, skipping ~0.3 s/iteration of host casts + a second
+    # full read of tau at bench scale.
+    stim32: np.ndarray | None = None  # (L, S) f32
+    beta32: np.ndarray | None = None  # (L, S) f32
+    j_blues32: np.ndarray | None = None  # (L, S) f32
+    tau_prefix_hi: np.ndarray | None = None  # (S, L+1) f32
+    tau_prefix_lo: np.ndarray | None = None  # (S, L+1) f32
 
 
 class PlasmaSolver:
@@ -366,7 +376,8 @@ class PlasmaSolver:
             if self.radiative_rates_type == "blackbody"
             else w
         )
-        fused = native.line_plasma_tables(
+        extras = {}
+        fused = native.line_plasma_tables_full(
             n_level, atom.line_lower_idx, atom.line_upper_idx,
             atom.level_g[atom.line_lower_idx],
             atom.level_g[atom.line_upper_idx],
@@ -376,7 +387,12 @@ class PlasmaSolver:
             H / K_B, 2.0 * H / C_LIGHT**2,
         )
         if fused is not None:
-            stim, tau, beta_sob, jb_planck = fused
+            (stim, tau, beta_sob, jb_planck,
+             stim32, beta32, jb32, pref_hi, pref_lo) = fused
+            extras = dict(
+                stim32=stim32, beta32=beta32, j_blues32=jb32,
+                tau_prefix_hi=pref_hi, tau_prefix_lo=pref_lo,
+            )
         else:
             n_lower = n_level[atom.line_lower_idx]
             n_upper = n_level[atom.line_upper_idx]
@@ -400,6 +416,9 @@ class PlasmaSolver:
         if self.radiative_rates_type == "detailed" and j_blues is not None:
             planck = lte.dilute_planck_j_blues(atom.line_nu, t_rad, w)
             jb = np.where(j_blues > 0, j_blues, self.w_epsilon * planck)
+            # the f32 copy was computed from the Planck field; the
+            # estimator-derived j_blues supersede it
+            extras.pop("j_blues32", None)
         else:  # blackbody / dilute-blackbody (w baked into jb_planck)
             jb = jb_planck
 
@@ -415,4 +434,5 @@ class PlasmaSolver:
             stimulated_emission_factor=stim,
             beta_sobolev=beta_sob,
             j_blues=jb,
+            **extras,
         )

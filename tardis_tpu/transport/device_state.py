@@ -230,16 +230,21 @@ def build_transport_tables(
     S = geometry.no_of_shells
     L = atom_data.n_lines
 
-    tau = plasma_state.tau_sobolev  # (L, S) f64
-    # per-shell prefix sums with leading zero -> (S, L+1); fused native
-    # pipeline when built (tardis_tpu/native), numpy fallback otherwise
+    # per-shell prefix sums with leading zero -> (S, L+1): prefer the
+    # prefix the fused native plasma pass already emitted (round 5;
+    # bit-identical to prefix_split(tau)), else split here (fused native
+    # pipeline when built, numpy fallback otherwise)
     from tardis_tpu import native
     from tardis_tpu.transport.tiled_search import (
         build_packed_pred_tables_device,
         build_tiled_table,
     )
 
-    hi, lo = native.prefix_split(tau)
+    if getattr(plasma_state, "tau_prefix_hi", None) is not None:
+        hi = plasma_state.tau_prefix_hi
+        lo = plasma_state.tau_prefix_lo
+    else:
+        hi, lo = native.prefix_split(plasma_state.tau_sobolev)
     # ONE h2d transfer of the two-float prefix serves tau_cum_hi/lo,
     # tau_pack, AND the packed-search tables (built on device, round 4)
     hi_d = jnp.asarray(hi)
@@ -300,32 +305,33 @@ def build_transport_tables(
         Cn = pi.n_continua
         M = cm.n_states
         t_e = cs.t_electrons
+        # numpy-side casts; uploaded in the single batched device_put below
         cont_kw = dict(
-            cont_grid_nu=jnp.asarray(grid / NU_UNIT, jnp.float32),
-            cont_xsect=jnp.asarray(xs.reshape(-1), jnp.float32),
-            cont_A=jnp.asarray((cs.level_pop * ct).reshape(-1), jnp.float32),
-            cont_B=jnp.asarray(
-                (cs.lte_pop_coef * ct).reshape(-1), jnp.float32
+            cont_grid_nu=np.asarray(grid / NU_UNIT, np.float32),
+            cont_xsect=np.asarray(xs.reshape(-1), np.float32),
+            cont_A=np.asarray((cs.level_pop * ct).reshape(-1), np.float32),
+            cont_B=np.asarray(
+                (cs.lte_pop_coef * ct).reshape(-1), np.float32
             ),
-            cont_boltz_coef=jnp.asarray(
-                H_PLANCK * NU_UNIT / (K_B * t_e), jnp.float32
+            cont_boltz_coef=np.asarray(
+                H_PLANCK * NU_UNIT / (K_B * t_e), np.float32
             ),
-            cont_ff_coef=jnp.asarray(
+            cont_ff_coef=np.asarray(
                 FF_OPAC_CONST * cs.ff_opacity_factor * ct / NU_UNIT**3,
-                jnp.float32,
+                np.float32,
             ),
-            mk_cum_B=jnp.asarray(cm.cum_B.reshape(-1), jnp.float32),
-            deact_block_start=jnp.asarray(cm.deact_block_start, jnp.int32),
-            deact_cum_prob=jnp.asarray(
-                cm.deact_cum_prob.reshape(-1), jnp.float32
+            mk_cum_B=np.asarray(cm.cum_B.reshape(-1), np.float32),
+            deact_block_start=np.asarray(cm.deact_block_start, np.int32),
+            deact_cum_prob=np.asarray(
+                cm.deact_cum_prob.reshape(-1), np.float32
             ),
-            deact_kind=jnp.asarray(cm.deact_kind, jnp.int8),
-            deact_id=jnp.asarray(cm.deact_id, jnp.int32),
-            line2state=jnp.asarray(cm.line2state, jnp.int32),
-            photo_ion_state=jnp.asarray(cm.photo_ion_state, jnp.int32),
-            fb_cdf=jnp.asarray(cs.fb_emission_cdf.reshape(-1), jnp.float32),
-            fb_nu=jnp.asarray(pi.nu / NU_UNIT, jnp.float32),
-            pion_block_start=jnp.asarray(pi.block_references, jnp.int32),
+            deact_kind=np.asarray(cm.deact_kind, np.int8),
+            deact_id=np.asarray(cm.deact_id, np.int32),
+            line2state=np.asarray(cm.line2state, np.int32),
+            photo_ion_state=np.asarray(cm.photo_ion_state, np.int32),
+            fb_cdf=np.asarray(cs.fb_emission_cdf.reshape(-1), np.float32),
+            fb_nu=np.asarray(pi.nu / NU_UNIT, np.float32),
+            pion_block_start=np.asarray(pi.block_references, np.int32),
         )
         if cm.n_two_photon > 0:
             if cm.n_two_photon > 1:
@@ -348,8 +354,8 @@ def build_transport_tables(
                 float(tp.alpha[t_act]), float(tp.beta[t_act]),
                 float(tp.gamma[t_act]),
             )
-            cont_kw["two_photon_nu"] = jnp.asarray(
-                y_tab * float(tp.nu0[t_act]) / NU_UNIT, jnp.float32
+            cont_kw["two_photon_nu"] = np.asarray(
+                y_tab * float(tp.nu0[t_act]) / NU_UNIT, np.float32
             )
         cont_static = dict(
             enable_continuum=True,
@@ -396,30 +402,51 @@ def build_transport_tables(
             / NU_UNIT**3
         )
 
+    import jax
+
+    # iteration-invariant line tables, cached on the AtomData instance
+    # (line_nu only changes when the atom data does)
+    line_cache = atom_data.__dict__.get("_dev_line_cache")
+    if line_cache is None:
+        line_cache = {
+            "line_nu": jax.device_put(line_nu_scaled),
+            "neg_line_nu": jax.device_put(-line_nu_scaled),
+            "neg_nu_tiled": build_tiled_table(-line_nu_scaled),
+        }
+        atom_data.__dict__["_dev_line_cache"] = line_cache
+
+    # ONE batched transfer for every small per-iteration host array: each
+    # eagerly-dispatched upload costs up to ~10-50 ms of tunnel round-trip
+    # on the axon stack, and there are ~10 of them per iteration (round 5;
+    # same trick as macro_atom_solver._ChainContext)
+    batch_np = dict(
+        r_inner=np.asarray(geometry.r_inner / ct, np.float32),
+        r_outer=np.asarray(geometry.r_outer / ct, np.float32),
+        chi_e=chi_e,
+        shell_pack=shell_pack,
+        macro_cum_prob=np.asarray(cum_prob, np.float32),
+        macro_block_start=np.asarray(block_start, np.int32),
+        macro_dest=np.asarray(dest, np.int32),
+        macro_emit=np.asarray(emit),
+        macro_line=np.asarray(mline, np.int32),
+        line2macro=np.asarray(line2macro, np.int32),
+        **cont_kw,
+    )
+    batch_d = jax.device_put(batch_np)
+
     tables = TransportTables(
-        r_inner=jnp.asarray(geometry.r_inner / ct, jnp.float32),
-        r_outer=jnp.asarray(geometry.r_outer / ct, jnp.float32),
-        line_nu=jnp.asarray(line_nu_scaled),
-        neg_line_nu=jnp.asarray(-line_nu_scaled),
+        line_nu=line_cache["line_nu"],
+        neg_line_nu=line_cache["neg_line_nu"],
+        neg_nu_tiled=line_cache["neg_nu_tiled"],
         tau_cum_hi=hi_d,
         tau_cum_lo=lo_d,
-        chi_e=jnp.asarray(chi_e),
         tau_pack=_tau_pack_jit(hi_d, lo_d),
-        shell_pack=jnp.asarray(shell_pack),
-        macro_cum_prob=jnp.asarray(cum_prob, jnp.float32),
-        macro_block_start=jnp.asarray(block_start, jnp.int32),
-        macro_dest=jnp.asarray(dest, jnp.int32),
-        macro_emit=jnp.asarray(emit),
-        macro_line=jnp.asarray(mline, jnp.int32),
-        line2macro=jnp.asarray(line2macro, jnp.int32),
-        neg_nu_tiled=build_tiled_table(-line_nu_scaled),
         pred_packed=build_packed_pred_tables_device(
-            hi_d, lo_d, line_nu_scaled, aux=aux
+            hi_d, lo_d, line_cache["line_nu"], aux=aux
         ),
-        **cont_kw,
+        **batch_d,
         **chain_kw,
     )
-    import jax
 
     on_accelerator = jax.default_backend() != "cpu"
     static = TransportStaticConfig(

@@ -136,16 +136,26 @@ class TransportResult:
         return float(self.output_energy[m].sum() / self.time_of_simulation)
 
 
-_LUM_JIT = None
+_SUMMARY_JIT = None
 
 
-def _device_luminosities(out_packed, nu_min_scaled, nu_max_scaled):
-    """(emitted-in-window, reabsorbed) energy sums from the packed output
-    buffer, on device (strict bounds, matching filtered_luminosity)."""
-    global _LUM_JIT
-    if _LUM_JIT is None:
+def _device_summary(carry, nu_min_scaled, nu_max_scaled):
+    """Pack every small per-iteration readback into TWO device arrays.
 
-        def f(out, lo, hi):
+    Each separate device->host fetch costs tens of ms of tunnel round-trip
+    on the axon stack, and _finalize used to make ~9 of them (bulk
+    estimator hi/lo pairs, step/event counters, the luminosity window
+    sums) — ~0.28 s/iteration at bench scale.  One jitted packer returning
+    a single f32 vector + a single i32 vector collapses that to two
+    fetches.  Returns (np.float64 vector, np.int64 vector) with layout
+    [est_j | est_j_lo | est_nubar | est_nubar_lo | n_events, em, re] and
+    [n_steps, vp_count].
+    """
+    global _SUMMARY_JIT
+    if _SUMMARY_JIT is None:
+
+        def f(est_j, est_j_lo, est_nubar, est_nubar_lo, n_steps, n_events,
+              vp_count, out, lo, hi):
             nu_s = out[0::2]
             e = out[1::2]
             nu = jnp.abs(nu_s)
@@ -153,16 +163,25 @@ def _device_luminosities(out_packed, nu_min_scaled, nu_max_scaled):
                 jnp.where((nu_s > 0) & (nu > lo) & (nu < hi), e, 0.0)
             )
             re_ = jnp.sum(jnp.where(nu_s < 0, e, 0.0))
-            return em, re_
+            vec_f = jnp.concatenate(
+                [est_j, est_j_lo, est_nubar, est_nubar_lo,
+                 jnp.stack([n_events, em, re_])]
+            )
+            vec_i = jnp.stack([n_steps, vp_count])
+            return vec_f, vec_i
 
-        _LUM_JIT = jax.jit(f)
-    return _LUM_JIT(
-        out_packed,
-        jnp.float32(nu_min_scaled),
+        _SUMMARY_JIT = jax.jit(f)
+    hi = (
         jnp.float32(np.finfo(np.float32).max)
         if not np.isfinite(nu_max_scaled)
-        else jnp.float32(nu_max_scaled),
+        else jnp.float32(nu_max_scaled)
     )
+    vec_f, vec_i = _SUMMARY_JIT(
+        carry.est_j, carry.est_j_lo, carry.est_nubar, carry.est_nubar_lo,
+        carry.n_steps, carry.n_events, carry.vp_count,
+        carry.out_packed, jnp.float32(nu_min_scaled), hi,
+    )
+    return np.asarray(vec_f, np.float64), np.asarray(vec_i, np.int64)
 
 
 class TransportSolver:
@@ -244,11 +263,19 @@ class TransportSolver:
                 else atom_data.macro_atom
             )
             if self.use_macro_chain in ("auto", True):
+                # f32 copies from the fused native plasma pass when
+                # available (bit-identical to astype(float32) of the f64
+                # fields, which solve_macro_chain would otherwise pay
+                # ~0.2 s/iteration to cast on this host)
+                ps = plasma_state
                 macro_chain = solve_macro_chain(
                     macro,
-                    plasma_state.beta_sobolev,
-                    plasma_state.j_blues,
-                    plasma_state.stimulated_emission_factor,
+                    (ps.beta_sobolev if getattr(ps, "beta32", None) is None
+                     else ps.beta32),
+                    (ps.j_blues if getattr(ps, "j_blues32", None) is None
+                     else ps.j_blues32),
+                    (ps.stimulated_emission_factor
+                     if getattr(ps, "stim32", None) is None else ps.stim32),
                     mode=self.line_interaction_type,
                     line_nu_scaled=atom_data.line_nu / NU_UNIT,
                 )
@@ -481,9 +508,24 @@ class TransportSolver:
         S = sim_state.no_of_shells
         L = atom_data.n_lines
 
+        # single batched readback of every small per-iteration output
+        # (round 5: was ~9 separate fetches at ~30 ms tunnel latency each)
+        if lum_nu_window is not None:
+            w_lo = float(lum_nu_window[0]) / NU_UNIT
+            w_hi = (
+                float(lum_nu_window[1]) / NU_UNIT
+                if np.isfinite(lum_nu_window[1])
+                else np.inf
+            )
+        else:
+            w_lo, w_hi = 0.0, np.inf
+        vec_f, vec_i = _device_summary(carry, w_lo, w_hi)
         # (hi, lo) compensated accumulators -> f64
-        est_j = carry.est_j_f64() * e0 * ct
-        est_nubar = carry.est_nubar_f64() * e0 * ct * NU_UNIT
+        est_j = (vec_f[0:S] + vec_f[S : 2 * S]) * e0 * ct
+        est_nubar = (
+            (vec_f[2 * S : 3 * S] + vec_f[3 * S : 4 * S])
+            * e0 * ct * NU_UNIT
+        )
 
         if full_relativity is None:
             full_relativity = self.enable_full_relativity
@@ -541,16 +583,11 @@ class TransportSolver:
         lum_cache = None
         if lum_nu_window is not None:
             nu_min, nu_max = lum_nu_window
-            em, re_ = _device_luminosities(
-                carry.out_packed,
-                float(nu_min) / NU_UNIT,
-                (float(nu_max) / NU_UNIT if np.isfinite(nu_max)
-                 else np.inf),
-            )
             dt = 1.0 / sim_state.luminosity_requested
             lum_cache = (
                 float(nu_min), float(nu_max),
-                float(em) * e0 / dt, float(re_) * e0 / dt,
+                float(vec_f[4 * S + 1]) * e0 / dt,
+                float(vec_f[4 * S + 2]) * e0 / dt,
             )
         return TransportResult(
             continuum=continuum,
@@ -566,12 +603,12 @@ class TransportSolver:
             virt_energy_hist=(
                 None if virt_hist is None else virt_hist * e0
             ),
-            vp_records=int(carry.vp_count),
+            vp_records=int(vec_i[1]),
             vpackets=vpackets,
             time_of_simulation=time_of_simulation,
             n_packets=n_packets,
-            n_events=float(carry.n_events),
-            n_steps=int(carry.n_steps),
+            n_events=float(vec_f[4 * S]),
+            n_steps=int(vec_i[0]),
         )
 
 

@@ -31,7 +31,7 @@ from tardis_tpu.transport.device_state import (
     TransportStaticConfig,
     TransportTables,
 )
-from tardis_tpu.utils.search import searchsorted_unrolled
+from tardis_tpu.transport.tiled_search import tiled_searchsorted
 from tardis_tpu.utils.twofloat import df32_diff
 
 F32 = jnp.float32
@@ -67,8 +67,12 @@ def _trace_tau(tables, static, r0, mu, shell0, next_line, nu_lab):
         return jnp.sqrt(jnp.maximum(r_shell * r_shell - p2, 0.0))
 
     def count_gt(nu_thresh):
-        return searchsorted_unrolled(
-            tables.neg_line_nu, -nu_thresh, side="left"
+        # 3-level tiled search (round 5): identical result to the 18-probe
+        # unrolled binary search it replaces, but 3 row gathers instead of
+        # 18 serialized dependent probes — this search runs once per shell
+        # segment per ray and dominated the volley pass
+        return tiled_searchsorted(
+            tables.neg_nu_tiled, -nu_thresh, side="left"
         )
 
     def gamma_at(r_shell):
@@ -151,13 +155,20 @@ def trace_vpacket_records(
     """
     import numpy as np
 
+    from tardis_tpu.transport.tiled_search import build_tiled_table
+
+    # tiled table over the spectrum bin edges: the per-ray bin search then
+    # costs 3 row gathers instead of ~14 dependent probes
+    edges_tiled = build_tiled_table(np.asarray(nu_bin_edges, np.float32))
+
     R = int(vp_r.shape[0])
     chunk = max(max_rays_per_chunk // max(n_vpackets, 1), 1)
     if R <= chunk:
         return _trace_vpacket_records_chunk(
             tables, static, vp_r, vp_mu, vp_nu, vp_energy, vp_shell,
             vp_next_line, n_vpackets=n_vpackets,
-            nu_bin_edges=nu_bin_edges, n_bins=n_bins,
+            nu_bin_edges=nu_bin_edges, edges_tiled=edges_tiled,
+            n_bins=n_bins,
             spawn_nu_min=spawn_nu_min, spawn_nu_max=spawn_nu_max,
             return_packets=return_packets,
         )
@@ -182,7 +193,8 @@ def trace_vpacket_records(
             ]
         out = _trace_vpacket_records_chunk(
             tables, static, *args, n_vpackets=n_vpackets,
-            nu_bin_edges=nu_bin_edges, n_bins=n_bins,
+            nu_bin_edges=nu_bin_edges, edges_tiled=edges_tiled,
+            n_bins=n_bins,
             spawn_nu_min=spawn_nu_min, spawn_nu_max=spawn_nu_max,
             return_packets=return_packets,
         )
@@ -220,6 +232,7 @@ def _trace_vpacket_records_chunk(
     vp_next_line,
     n_vpackets: int,
     nu_bin_edges,  # (n_bins+1,) in kernel nu units, ascending
+    edges_tiled,  # TiledTable over nu_bin_edges (bin search, 3 gathers)
     n_bins: int,
     spawn_nu_min=0.0,
     spawn_nu_max=jnp.inf,
@@ -302,7 +315,7 @@ def _trace_vpacket_records_chunk(
     )
     nu_flat = flat(nu_vp)
     bins = jnp.clip(
-        searchsorted_unrolled(nu_bin_edges, nu_flat, side="right") - 1,
+        tiled_searchsorted(edges_tiled, nu_flat, side="right") - 1,
         0,
         n_bins - 1,
     )
