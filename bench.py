@@ -35,6 +35,7 @@ BENCH_ARGS = [
     "--mode", "macroatom",
     "--chunk", "2097152",
     "--e2e-iters", "3",
+    "--final-vpackets", "2",
     "--roofline",
 ]
 CPU_BENCH_ARGS = [

@@ -132,6 +132,61 @@ DECAY_RADIATION: dict[str, IsotopeRadiation] = {
 }
 
 ANNIHILATION_KEV = 511.0
+# para-positronium fraction among positronium formations (reference
+# PARA_TO_ORTHO_RATIO, transport/montecarlo/packet_source/high_energy.py)
+PARA_TO_ORTHO_RATIO = 0.25
+ELECTRON_MASS_ENERGY_KEV = 510.998928
+
+
+def positronium_continuum(num: int = 100):
+    """Ortho-positronium three-photon decay continuum (Ore & Powell 1949).
+
+    Returns (energy [keV], intensity normalized to max 1) on a ``num``-point
+    grid — matching the reference's ``positronium_continuum``
+    (/root/reference/tardis/energy_input/energy_source.py:255-280).
+    """
+    energy = np.linspace(1, ELECTRON_MASS_ENERGY_KEV, num=num,
+                         endpoint=False)
+    x = energy / ELECTRON_MASS_ENERGY_KEV
+    omx = 1.0 - x
+    term_1 = (x * omx) / (2.0 - x) ** 2
+    term_2 = (2.0 * omx**2) / (2.0 - x) ** 3 * np.log(omx)
+    term_3 = (2.0 - x) / x
+    term_4 = (2.0 * omx) / x**2 * np.log(omx)
+    intensity = 2.0 * (term_1 - term_2 + term_3 + term_4)
+    return energy, intensity / np.max(intensity)
+
+
+class PositroniumSampler:
+    """Inverse-CDF sampler of the ortho-Ps photon energy distribution.
+
+    Construction matches the reference's ``PositroniumSampler``
+    (/root/reference/tardis/energy_input/samplers.py:146-200): the Ore &
+    Powell (1949) PDF on x = E / m_e c^2 over a dense grid, normalized,
+    cumulative-summed, inverted by linear interpolation.
+    """
+
+    def __init__(self, n_grid: int = 10000):
+        self.x_grid = np.linspace(1e-4, 0.9999, n_grid)
+        pdf = self.pdf(self.x_grid)
+        self.norm_pdf = pdf / np.trapezoid(pdf, self.x_grid)
+        self.cdf_grid = np.cumsum(self.norm_pdf)
+        self.cdf_grid /= self.cdf_grid[-1]
+
+    @staticmethod
+    def pdf(x):
+        first = x * (1 - x) / (2 - x) ** 2
+        second = 2 * (1 - x) ** 2 * np.log(1 - x) / (2 - x) ** 3
+        third = (2 - x) / x
+        fourth = 2 * (1 - x) * np.log(1 - x) / x**2
+        return 2 * (first - second + third + fourth)
+
+    def sample_energy(self, rng, samples: int):
+        """Sample ``samples`` photon energies [keV] using draws from the
+        counter-based generator ``rng``."""
+        z = rng.random(samples)
+        x = np.interp(z, self.cdf_grid, self.x_grid)
+        return x * ELECTRON_MASS_ENERGY_KEV
 
 
 def decay_radiation_from_atom_data(atom_data) -> dict:
@@ -336,12 +391,22 @@ def sample_gamma_packets(
     seed: int = 0,
     n_time_bins: int = 64,
     radiation: dict | None = None,  # per-isotope IsotopeRadiation override
+    positronium_fraction: float = 0.0,
 ) -> GammaPacketPool:
     """Sample decay gamma packets over (chain member, shell, time, line).
 
     Packets carry equal energy = E_total / N (the reference's convention,
     main_gamma_ray_loop.py:145-260).  Draws come from a counter-based
     Philox generator keyed by ``seed``.
+
+    ``positronium_fraction``: probability that a positron forms positronium
+    before annihilating (reference ``create_packet_nus``,
+    transport/montecarlo/packet_source/high_energy.py:140-206): of the
+    511 keV annihilation packets, that fraction re-routes — 75% (ortho-Ps)
+    draw their photon energy from the Ore & Powell three-photon continuum,
+    25% (para-Ps, PARA_TO_ORTHO_RATIO) stay at 511 keV.  Packet ENERGY is
+    unchanged (only the photon frequency), matching the reference, so
+    energy bookkeeping is unaffected.
     """
     if not isinstance(isotope_numbers, dict):
         isotope_numbers = {"Ni56": np.asarray(isotope_numbers)}
@@ -408,6 +473,18 @@ def sample_gamma_packets(
         pl = pl / pl.sum()
         idx = rng.choice(len(lines), size=int(sel.sum()), p=pl)
         energy_kev[sel] = lines[idx, 0]
+
+    if positronium_fraction > 0.0:
+        annihilation = energy_kev == ANNIHILATION_KEV
+        forms_ps = rng.random(n_packets) < positronium_fraction
+        three_photon = rng.random(n_packets) > PARA_TO_ORTHO_RATIO
+        ortho = annihilation & forms_ps & three_photon
+        n_ortho = int(ortho.sum())
+        if n_ortho:
+            energy_kev[ortho] = PositroniumSampler().sample_energy(
+                rng, n_ortho
+            )
+        # para-Ps and non-forming positrons keep the 511 keV line
 
     return GammaPacketPool(
         shell=shell.astype(np.int32),

@@ -109,6 +109,83 @@ def pair_creation_opacity(energy_kev, density, iron_group_fraction):
     )
 
 
+# fine-structure constant (CODATA), for the Kasen photoabsorption form
+FINE_STRUCTURE = 7.2973525693e-3
+
+
+def photoabsorption_opacity_kasen(energy_kev, kasen_z4_sum):
+    """Kasen et al. (2006) photoabsorption [1/cm].
+
+    Reference form (/root/reference/tardis/opacities/opacities.py:363-396,
+    photoabsorption_opacity_calculation_kasen):
+        sigma_T * alpha^4 * 8 sqrt(2) * kappa^-3.5 * sum_i n_i Z_i^4
+    with the composition sum precomputed per shell as ``kasen_z4_sum`` =
+    sum over elements of (number density / Z) * Z^5.  The reference
+    defines this function but leaves it unwired ("currently not
+    functional", transport/gamma_packet_loop.py:164-168); here it is a
+    live prescription because the composition data needed is available.
+    """
+    k = jnp.maximum(kappa_e(energy_kev), 1e-6)
+    return (
+        SIGMA_THOMSON
+        * FINE_STRUCTURE**4
+        * 8.0
+        * jnp.sqrt(2.0)
+        * k**-3.5
+        * kasen_z4_sum
+    )
+
+
+def pair_creation_opacity_artis(energy_kev, density, iron_group_fraction):
+    """ARTIS variant of the pair-creation opacity [1/cm].
+
+    (/root/reference/tardis/opacities/opacities.py:443-483,
+    pair_creation_opacity_artis: energy thresholds in keV without the
+    /1000 rescaling of the tardis variant, and Z^2/A ratios expressed
+    through 196e-27 (Si) / 784e-27 (Fe) per-proton-mass factors.)
+    """
+    lo_si = 1.0063 * (energy_kev - 1022.0) * 196.0e-27
+    hi_si = (0.0481 + 0.301 * (energy_kev - 1500.0)) * 196.0e-27
+    lo_fe = 1.0063 * (energy_kev - 1022.0) * 784.0e-27
+    hi_fe = (0.0481 + 0.301 * (energy_kev - 1500.0)) * 784.0e-27
+    op_si = jnp.where(energy_kev > 1500.0, hi_si, lo_si) * (
+        density / _M_P / 28.0
+    )
+    op_fe = jnp.where(energy_kev > 1500.0, hi_fe, lo_fe) * (
+        density / _M_P / 56.0
+    )
+    op = op_fe * iron_group_fraction + op_si * (1.0 - iron_group_fraction)
+    return jnp.where(energy_kev > 1022.0, op, 0.0)
+
+
+def average_compton_fraction(energy_kev):
+    """Mean retained energy fraction <E'/E> over the KN angle distribution.
+
+    Vectorized port of the reference's ``get_average_compton_fraction``
+    (/root/reference/tardis/energy_input/gamma_ray_estimators.py:105-130):
+    100-point midpoint quadrature over mu of f(x, mu) weighted by the KN
+    differential cross-section, where f = 1/(1 + x(1-mu)).  (The reference
+    wraps the ratio as ``1 - (1 - sum/norm)``; this is the same value.)
+    """
+    x = kappa_e(energy_kev)[..., None]
+    mus = jnp.linspace(-1.0, 1.0, 100)
+    f = 1.0 / (1.0 + x * (1.0 - mus))
+    cs = f**2 * (f + 1.0 / f - (1.0 - mus**2))
+    return jnp.sum(cs * f, axis=-1) / jnp.sum(cs, axis=-1)
+
+
+def deposition_estimator_kasen(energy_kev, electron_density, density,
+                               iron_group_fraction):
+    """Kasen deposition-opacity estimator [1/cm].
+
+    (/root/reference/tardis/energy_input/gamma_ray_estimators.py:133-138:
+    average Compton fraction x Compton opacity + photoabsorption opacity.)
+    """
+    return average_compton_fraction(energy_kev) * compton_opacity(
+        energy_kev, electron_density
+    ) + photoabsorption_opacity(energy_kev, density, iron_group_fraction)
+
+
 # ---------------------------------------------------------------------------
 # Klein-Nishina angle inverse-CDF table
 # ---------------------------------------------------------------------------
@@ -162,7 +239,13 @@ def sample_kn_cos(log_e_grid, table, energy_kev, u):
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("n_shells", "n_ebins", "max_steps"))
+@partial(
+    jax.jit,
+    static_argnames=(
+        "n_shells", "n_ebins", "max_steps", "grey_opacity",
+        "photoabsorption_type", "pair_creation_type", "collect_estimators",
+    ),
+)
 def gamma_step_transport(
     r,  # (B,) cm
     mu,
@@ -183,18 +266,46 @@ def gamma_step_transport(
     n_shells: int,
     n_ebins: int,
     max_steps: int = 10000,
+    kasen_z4=None,  # (S,) sum_el n_el Z^4 (kasen photoabsorption only)
+    grey_opacity: float = -1.0,
+    photoabsorption_type: str = "tardis",
+    pair_creation_type: str = "tardis",
+    collect_estimators: bool = False,
 ):
     """Advance all packets to the end of the time step (or death).
 
     Returns updated state + (deposition per shell [erg],
-    escape spectrum histogram [erg per energy bin]).
+    escape spectrum histogram [erg per energy bin], estimators dict).
+
+    Options (reference main_gamma_ray_loop.py:153-198 +
+    transport/gamma_packet_loop.py:143-199):
+
+    - ``grey_opacity`` >= 0 [cm^2/g]: replaces the physical opacities with
+      a grey absorption chi = grey_opacity * rho (Compton and pair
+      creation switched off, as in the reference's grey branch).
+    - ``photoabsorption_type``: "tardis" (Ambwani & Sutherland) or "kasen"
+      (requires ``kasen_z4``).
+    - ``pair_creation_type``: "tardis" or "artis".
+    - ``collect_estimators``: additionally accumulate the reference's
+      per-shell path-length estimators (gamma_ray_estimators.py:19-138):
+      Kasen deposition (E * kappa_dep * d), Compton emissivity, and
+      pair-creation emissivity.  The Compton emissivity is the 1-D
+      spherical adaptation: the reference's 3-D estimator projects the
+      CMF direction on a fixed observer axis and carries a malformed
+      frequency factor (``1 + x + (1-mu)``, gamma_ray_estimators.py:42 —
+      dead code there); here the radial cosine and the standard Compton
+      factor ``1 + x (1-mu)`` are used.
     """
     S = n_shells
     deposition = jnp.zeros(S, F32)
     escape_hist = jnp.zeros(n_ebins, F32)
+    n_est = S if collect_estimators else 1
+    est0 = (jnp.zeros(n_est, F32),) * 3  # kasen_dep, compton_em, pair_em
+    if kasen_z4 is None:
+        kasen_z4 = jnp.zeros(S, F32)
 
     def body(state):
-        (r, mu, e_kev, w, shell, status, budget, dep, esc, it) = state
+        (r, mu, e_kev, w, shell, status, budget, dep, esc, est, it) = state
         active = status == 0
         shell_c = jnp.clip(shell, 0, S - 1)
 
@@ -204,13 +315,40 @@ def gamma_step_transport(
         u2 = jax.random.uniform(jax.random.fold_in(k, 1), r.shape, dtype=F32)
         u3 = jax.random.uniform(jax.random.fold_in(k, 2), r.shape, dtype=F32)
 
-        chi_c = compton_opacity(e_kev, electron_density[shell_c])
-        chi_pa = photoabsorption_opacity(
-            e_kev, density[shell_c], iron_fraction[shell_c]
-        )
-        chi_pp = pair_creation_opacity(
-            e_kev, density[shell_c], iron_fraction[shell_c]
-        )
+        if grey_opacity >= 0.0:
+            # grey mode: pure absorption at grey_opacity * rho
+            # (reference gamma_packet_loop.py:193-199)
+            chi_c = jnp.zeros_like(e_kev)
+            chi_pp = jnp.zeros_like(e_kev)
+            chi_pa = grey_opacity * density[shell_c]
+        else:
+            chi_c = compton_opacity(e_kev, electron_density[shell_c])
+            if photoabsorption_type == "kasen":
+                chi_pa = photoabsorption_opacity_kasen(
+                    e_kev, kasen_z4[shell_c]
+                )
+            elif photoabsorption_type == "tardis":
+                chi_pa = photoabsorption_opacity(
+                    e_kev, density[shell_c], iron_fraction[shell_c]
+                )
+            else:
+                raise ValueError(
+                    f"invalid photoabsorption opacity type "
+                    f"{photoabsorption_type!r}"
+                )
+            if pair_creation_type == "artis":
+                chi_pp = pair_creation_opacity_artis(
+                    e_kev, density[shell_c], iron_fraction[shell_c]
+                )
+            elif pair_creation_type == "tardis":
+                chi_pp = pair_creation_opacity(
+                    e_kev, density[shell_c], iron_fraction[shell_c]
+                )
+            else:
+                raise ValueError(
+                    f"invalid pair creation opacity type "
+                    f"{pair_creation_type!r}"
+                )
         chi_tot = chi_c + chi_pa + chi_pp
 
         tau = -jnp.log(u1)
@@ -283,6 +421,34 @@ def gamma_step_transport(
             (jnp.where(active, dep_inc, 0.0))[:, None] * onehot, axis=0
         )
 
+        # path-length estimators (reference gamma_ray_estimators.py:19-138;
+        # see the docstring's 1-D adaptation note)
+        if collect_estimators:
+            live = active.astype(F32)
+            kap_dep = deposition_estimator_kasen(
+                e_kev, electron_density[shell_c], density[shell_c],
+                iron_fraction[shell_c],
+            )
+            x_c = kappa_e(e_kev)
+            ff = 1.0 + x_c * (1.0 - mu)
+            pcs = (
+                3.0 / (16.0 * jnp.pi) * SIGMA_THOMSON / ff**2
+                * (ff + 1.0 / ff + mu**2 - 1.0)
+            )
+            rows = jnp.stack(
+                [
+                    live * w * kap_dep * d,
+                    live * w * pcs * d / ff,
+                    live * chi_pp * (2.0 * 511.0 / jnp.maximum(e_kev, 1.0))
+                    * w * d,
+                ],
+                axis=0,
+            )  # (3, B)
+            est = tuple(
+                e + jnp.sum(rows[i][:, None] * onehot, axis=0)
+                for i, e in enumerate(est)
+            )
+
         # apply
         e_kev = jnp.where(active & is_compton, e_new,
                           jnp.where(active & is_pair, 511.0, e_kev))
@@ -312,15 +478,21 @@ def gamma_step_transport(
         mu = jnp.where(active, mu_out, mu)
         shell = jnp.where(active & ev_bound & ~escaped & ~absorbed_in,
                           new_shell, shell)
-        return (r, mu, e_kev, w, shell, status, budget, dep, esc, it + 1)
+        return (r, mu, e_kev, w, shell, status, budget, dep, esc, est,
+                it + 1)
 
     def cond(state):
         status = state[5]
-        it = state[9]
+        it = state[10]
         return jnp.any(status == 0) & (it < max_steps)
 
     state = (r, mu, energy_kev, weight, shell, status, dist_budget,
-             deposition, escape_hist, jnp.zeros((), I32))
+             deposition, escape_hist, est0, jnp.zeros((), I32))
     state = jax.lax.while_loop(cond, body, state)
-    (r, mu, e_kev, w, shell, status, budget, dep, esc, _) = state
-    return r, mu, e_kev, w, shell, status, dep, esc
+    (r, mu, e_kev, w, shell, status, budget, dep, esc, est, _) = state
+    estimators = {
+        "kasen_deposition": est[0],
+        "compton_emissivity": est[1],
+        "pair_creation_emissivity": est[2],
+    }
+    return r, mu, e_kev, w, shell, status, dep, esc, estimators

@@ -41,6 +41,10 @@ class GammaRayResult:
     # (reference energy_source.py:255); included in total_deposited
     positron_deposition: np.ndarray = None
     total_positron_energy: float = 0.0
+    # path-length estimators per (T, S) (reference
+    # gamma_ray_estimators.py:19-138; None unless collect_estimators):
+    # kasen_deposition [erg], compton_emissivity, pair_creation_emissivity
+    estimators: dict | None = None
 
 
 class TARDISHEWorkflow:
@@ -97,12 +101,29 @@ class TARDISHEWorkflow:
         t_end: float = 50.0 * DAY,
         n_time_steps: int = 20,
         n_energy_bins: int = 100,
+        positronium_fraction: float = 0.0,
+        grey_opacity: float = -1.0,
+        photoabsorption_opacity: str = "tardis",
+        pair_creation_opacity: str = "tardis",
+        collect_estimators: bool = False,
     ) -> GammaRayResult:
+        """Transport the decay gamma rays.
+
+        The option set mirrors the reference's ``run_gamma_ray_loop``
+        (/root/reference/tardis/energy_input/main_gamma_ray_loop.py:145-200):
+        ``positronium_fraction`` (three-photon ortho-Ps continuum for that
+        fraction of annihilations), ``grey_opacity`` [cm^2/g] (>= 0 switches
+        to grey absorption), the ``photoabsorption_opacity`` ("tardis" |
+        "kasen") and ``pair_creation_opacity`` ("tardis" | "artis")
+        prescriptions, plus ``collect_estimators`` for the per-(step, shell)
+        path-length estimators (gamma_ray_estimators.py:19-138).
+        """
         state = self.state
         S = state.no_of_shells
         pool = sample_gamma_packets(
             n_packets, self.isotope_numbers, t_start, t_end,
             seed=self.seed, radiation=self.radiation,
+            positronium_fraction=positronium_fraction,
         )
         time_edges = np.logspace(
             np.log10(t_start), np.log10(t_end), n_time_steps + 1
@@ -154,6 +175,15 @@ class TARDISHEWorkflow:
 
         deposition = np.zeros((n_time_steps, S))
         escape_t = np.zeros((n_time_steps, n_energy_bins))
+        est_t = (
+            {
+                k: np.zeros((n_time_steps, S))
+                for k in ("kasen_deposition", "compton_emissivity",
+                          "pair_creation_emissivity")
+            }
+            if collect_estimators
+            else None
+        )
         key = jax.random.key(np.uint32(self.seed))
 
         t_exp_model = state.time_explosion
@@ -167,12 +197,17 @@ class TARDISHEWorkflow:
         from tardis_tpu.atomic.atom_data import ATOMIC_MASSES
 
         z_over_a = np.zeros(S)
+        # Kasen photoabsorption composition sum: sum_el n_el Z^4
+        # = rho sum_el X_el Z^4 / (A_el m_u) (opacities.py:363-396)
+        z4_over_a = np.zeros(S)
         for i, z in enumerate(comp.atomic_numbers):
             a_i = (
                 ATOMIC_MASSES[z - 1] if z <= len(ATOMIC_MASSES) else 2.0 * z
             )
             z_over_a += comp.mass_fractions[i] * z / a_i
+            z4_over_a += comp.mass_fractions[i] * z**4 / a_i
         base_ne = base_density * z_over_a / M_U
+        base_kasen_z4 = base_density * z4_over_a / M_U
 
         for ts in range(n_time_steps):
             t0, t1 = time_edges[ts], time_edges[ts + 1]
@@ -215,8 +250,19 @@ class TARDISHEWorkflow:
                 jnp.asarray(ebins, F32),
                 n_shells=S,
                 n_ebins=n_energy_bins,
+                kasen_z4=jnp.asarray(base_kasen_z4 * scale, F32),
+                grey_opacity=float(grey_opacity),
+                photoabsorption_type=photoabsorption_opacity,
+                pair_creation_type=pair_creation_opacity,
+                collect_estimators=collect_estimators,
             )
-            (r_j, mu_j, e_j, w_j, shell_j, status_j, dep_j, esc_j) = out
+            (r_j, mu_j, e_j, w_j, shell_j, status_j, dep_j, esc_j,
+             est_j) = out
+            if collect_estimators:
+                for k_est in est_t:
+                    est_t[k_est][ts] = (
+                        np.asarray(est_j[k_est], np.float64) * e0
+                    )
             r = np.array(r_j, np.float64)
             mu = np.array(mu_j, np.float64)
             e_kev = np.array(e_j, np.float64)
@@ -248,4 +294,5 @@ class TARDISHEWorkflow:
             total_deposited=float(deposition.sum() + pos_dep.sum()),
             positron_deposition=pos_dep,
             total_positron_energy=float(pos_dep.sum()),
+            estimators=est_t,
         )
