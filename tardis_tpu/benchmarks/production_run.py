@@ -89,6 +89,12 @@ def main():
     w = np.asarray(sim.state.dilution_factor, np.float64)
     lum = np.asarray(sim.spectrum_real.luminosity_nu, np.float64)
     total_packets = args.packets * args.iterations + args.final
+    # throughput accounting covers only the work THIS process performed:
+    # on a resumed run, convergence_s spans (iterations - resumed_from)
+    # iterations, so the packet count must match (ADVICE r4: dividing the
+    # full workload by the post-resume time inflated the figure)
+    run_iterations = max(args.iterations - resumed_from, 1)
+    run_packets = args.packets * (args.iterations - resumed_from) + args.final
     emitted = sim.history[-1].emitted_luminosity
     out = {
         "n_lines": atom.n_lines,
@@ -100,13 +106,13 @@ def main():
         "total_packets": total_packets,
         "setup_s": round(setup_s, 2),
         "convergence_s": round(convergence_s, 2),
-        "s_per_iteration": round(convergence_s / args.iterations, 3),
+        "s_per_iteration": round(convergence_s / run_iterations, 3),
         "final_iteration_s": round(final_s, 2),
         "formal_integral_s": round(integral_s, 2),
         "total_s": round(convergence_s + final_s + integral_s, 2),
         "resumed_from_iteration": resumed_from,
         "e2e_packets_per_s": round(
-            total_packets / (convergence_s + final_s), 1
+            run_packets / (convergence_s + final_s), 1
         ),
         "t_inner": round(float(sim.state.t_inner), 1),
         "t_rad_range": [round(t_rad.min(), 1), round(t_rad.max(), 1)],

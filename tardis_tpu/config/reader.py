@@ -304,9 +304,11 @@ def validate_config(raw: dict, schema: bool = True) -> ConfigDict:
             if key in dens:
                 dens[key] = parse_quantity(dens[key])
         structure["density"] = dens
-        for key in ("v_inner_boundary", "v_outer_boundary"):
-            if key in structure:
-                structure[key] = parse_quantity(structure[key])
+    # boundary-velocity quantities apply to EVERY structure type (file-based
+    # models are trimmed post-read, model/state._from_file_structure)
+    for key in ("v_inner_boundary", "v_outer_boundary"):
+        if key in structure:
+            structure[key] = parse_quantity(structure[key])
     abund = dict(model.get("abundances", {"type": "uniform"}))
 
     plasma = _deep_merge(_PLASMA_DEFAULTS, cfg.get("plasma", {}))

@@ -6,8 +6,9 @@ configurable log level, optional *specific*-level filtering (show ONLY the
 requested level rather than level-and-above), colored console output, and
 the ``debug/log_level`` config wiring used by ``run_tardis``.
 
-Jupyter widget panels are intentionally not reproduced — on the
-terminal-first TPU stack the colored stream handler plays that role.
+``JupyterLogWidgetHandler`` (below) reproduces the reference's Jupyter
+widget log panel (per-level tab columns with batched flushing) when
+ipywidgets is available; the colored stream handler is the terminal path.
 """
 
 from __future__ import annotations

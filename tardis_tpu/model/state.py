@@ -131,6 +131,7 @@ class SimulationState:
         elif abund_type == "uniform":
             elements = []
             fractions = []
+            isotopes = {}
             for sym, frac in abund_cfg.items():
                 if sym in ("filename", "filetype", "model_isotope_time_0"):
                     continue
@@ -139,10 +140,30 @@ class SimulationState:
                     from tardis_tpu.model.decay import parse_isotope
 
                     if parse_isotope(sym) is not None:
-                        continue  # isotopes handled by readers/CSVY path
+                        isotopes[sym] = float(frac)
+                        continue
                     raise ValueError(f"Unknown element symbol '{sym}'")
                 elements.append(z)
                 fractions.append(float(frac))
+            if isotopes:
+                # decay isotope entries along their chains from
+                # model_isotope_time_0 to time_explosion and fold the
+                # products into the elemental fractions — matching the
+                # reference's IsotopeAbundances.decay path and the file/
+                # CSVY readers here (ADVICE r4: these keys were silently
+                # dropped and the rest renormalized)
+                from tardis_tpu.model.decay import (
+                    fold_isotopes_into_elements,
+                )
+
+                t0 = float(abund_cfg.get("model_isotope_time_0", 0.0))
+                t_exp = config.supernova.time_explosion
+                elements, fractions = fold_isotopes_into_elements(
+                    elements, fractions, isotopes, max(t_exp - t0, 0.0)
+                )
+                fractions = np.asarray(fractions, np.float64).reshape(
+                    len(elements)
+                )
             order = np.argsort(elements)
             elements = np.asarray(elements)[order]
             fractions = np.asarray(fractions)[order]
@@ -233,13 +254,27 @@ class SimulationState:
     @classmethod
     def _from_file_structure(cls, structure, config) -> "SimulationState":
         """structure: {type: file, filename, filetype} dispatch
-        (reference io/model/parse_geometry_configuration.py + readers/)."""
+        (reference io/model/parse_geometry_configuration.py + readers/).
+
+        ``v_inner_boundary`` / ``v_outer_boundary`` apply to file-based
+        structures too (ADVICE r4: they were schema-accepted but silently
+        ignored here): the reader builds the full model, then the state is
+        trimmed to the velocity window post-hoc.
+        """
         filetype = structure.get("filetype", "csvy")
         filename = structure.filename
+
+        def _windowed(state):
+            vib = structure.get("v_inner_boundary") or 0.0
+            vob = structure.get("v_outer_boundary") or np.inf
+            if vib > 0.0 or np.isfinite(vob):
+                state = state.masked_to_velocity_window(vib, vob, config)
+            return state
+
         if filetype == "csvy":
             from tardis_tpu.io.csvy import simulation_state_from_csvy
 
-            return simulation_state_from_csvy(filename, config)
+            return _windowed(simulation_state_from_csvy(filename, config))
         if filetype in ("artis", "simple_ascii"):
             from tardis_tpu.io.model_readers import (
                 simulation_state_from_artis,
@@ -251,22 +286,79 @@ class SimulationState:
                     f"{filetype} density files require a file-type "
                     "abundances section"
                 )
-            return simulation_state_from_artis(
-                filename, abund.filename, config
+            return _windowed(
+                simulation_state_from_artis(filename, abund.filename,
+                                            config)
             )
         if filetype in ("cmfgen", "cmfgen_model"):
             from tardis_tpu.io.model_readers import (
                 simulation_state_from_cmfgen,
             )
 
-            return simulation_state_from_cmfgen(filename, config)
+            return _windowed(simulation_state_from_cmfgen(filename, config))
         if filetype == "blondin_toymodel":
             from tardis_tpu.io.model_readers import (
                 simulation_state_from_blondin,
             )
 
-            return simulation_state_from_blondin(filename, config)
+            return _windowed(
+                simulation_state_from_blondin(filename, config)
+            )
         raise ValueError(f"unknown model filetype {filetype!r}")
+
+    def masked_to_velocity_window(self, vib: float, vob: float,
+                                  config) -> "SimulationState":
+        """Trim a built state to the [v_inner_boundary, v_outer_boundary]
+        window (reference parse_geometry_configuration boundary handling):
+        shells outside are dropped, partially-covered edge shells are
+        trimmed to the boundary velocity, and t_inner is recomputed from
+        the requested luminosity at the new inner radius (unless pinned by
+        plasma.initial_t_inner)."""
+        import dataclasses
+
+        g = self.geometry
+        if vib >= vob:
+            raise ValueError("v_inner_boundary must be < v_outer_boundary")
+        keep = (g.v_outer > vib) & (g.v_inner < vob)
+        if not keep.any():
+            raise ValueError(
+                "no shells inside the v_inner/outer_boundary window"
+            )
+        idx = np.nonzero(keep)[0]
+        edges = np.concatenate(
+            [g.v_inner[idx[0] : idx[-1] + 1], [g.v_outer[idx[-1]]]]
+        ).copy()
+        edges[0] = max(edges[0], vib)
+        edges[-1] = min(edges[-1], vob)
+        geometry = Radial1DGeometry.from_velocity_grid(
+            edges, self.time_explosion
+        )
+        composition = Composition(
+            atomic_numbers=self.composition.atomic_numbers,
+            mass_fractions=self.composition.mass_fractions[:, keep],
+            density=self.composition.density[keep],
+        )
+        initial_t_inner = float(
+            config.plasma.get("initial_t_inner", -1)
+            if config is not None else -1
+        )
+        if initial_t_inner > 0:
+            t_inner = initial_t_inner
+        else:
+            t_inner = float(
+                (
+                    self.luminosity_requested
+                    / (4.0 * np.pi * geometry.r_inner[0] ** 2 * SIGMA_SB)
+                ) ** 0.25
+            )
+        return dataclasses.replace(
+            self,
+            geometry=geometry,
+            composition=composition,
+            t_inner=t_inner,
+            t_radiative=self.t_radiative[keep],
+            dilution_factor=self.dilution_factor[keep],
+        )
 
     def t_inner_from_luminosity(self, emitted_luminosity: float, exponent=-0.5):
         """Updated t_inner estimate from the emitted/requested luminosity ratio

@@ -237,7 +237,20 @@ class _ChainContext:
         # emitted-line frequencies packed into the emission rows (third
         # block): extracting nu from the already-fetched row kills the
         # kernel's separate line_nu gather (1 of the 7 critical gathers)
-        nu_dense = np.zeros((M, We), np.float32)
+        # empty emission blocks (levels with no emission transitions, only
+        # reachable through degenerate self-deactivation chains) carry the
+        # dummy entry "line 0 at line 0's REAL frequency" — matching the
+        # retired alias path's dummy-self-entry behavior; a 0.0 default
+        # would silently emit a zero-frequency packet that dies with
+        # status 0 and drops out of both luminosities (ADVICE r4)
+        nu_fill = (
+            np.float32(np.asarray(line_nu_scaled).ravel()[0])
+            if line_nu_scaled is not None and len(
+                np.asarray(line_nu_scaled).ravel()
+            )
+            else np.float32(0.0)
+        )
+        nu_dense = np.full((M, We), nu_fill, np.float32)
         if line_nu_scaled is not None:
             nu_dense[e_src, slot] = np.asarray(
                 line_nu_scaled, np.float32

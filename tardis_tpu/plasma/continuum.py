@@ -249,6 +249,32 @@ class ContinuumSolver:
         self._coll_gbar = np.where(
             atom_data.line_ion[lid] == 0, 0.2, 0.7
         )
+        # tabulated collision strengths (VERDICT r4 item 4): transitions
+        # whose (lower, upper) level pair exists in the dataset's yg table
+        # use the interpolated Chianti/CMFGEN strengths (reference
+        # YgInterpolator/CollExcRateCoeff,
+        # iip_plasma/properties/continuum.py:527-646:
+        # ``coll_excitation_coeff.loc[yg_allowed_index] = q_ij``); the van
+        # Regemorter approximation stays ONLY as the fallback for pairs
+        # without data
+        Lc = len(lid)
+        self._coll_yg_idx = np.full(Lc, -1, np.int64)
+        co = atom_data.collision
+        if co is not None and len(co):
+            pair_to_row = {
+                (int(lf), int(uf)): i
+                for i, (lf, uf) in enumerate(
+                    zip(co.lower_flat, co.upper_flat)
+                )
+            }
+            for j in range(Lc):
+                self._coll_yg_idx[j] = pair_to_row.get(
+                    (
+                        int(self._coll_lower_flat[j]),
+                        int(self._coll_upper_flat[j]),
+                    ),
+                    -1,
+                )
 
     # ------------------------------------------------------------------
     def phi_lucy(self, t_electrons: np.ndarray) -> np.ndarray:
@@ -402,6 +428,22 @@ class ContinuumSolver:
             * np.exp(-u0l)
             * self._coll_gbar[:, None]
         )
+        # -------- tabulated Yg collision strengths override (Przybilla &
+        # Butler 2004 A2: q_lu = beta_coll/sqrt(T_e) yg exp(-dE/kT_e));
+        # engaged wherever the dataset carries collision data for the
+        # transition, van Regemorter only as fallback (reference
+        # CollExcRateCoeff, iip_plasma/properties/continuum.py:630-636)
+        has_yg = self._coll_yg_idx >= 0
+        if has_yg.any():
+            from tardis_tpu.plasma.nlte import BETA_COLL, interp_yg
+
+            yg_all = interp_yg(self.atom.collision, t_e)  # (Nc_all, S)
+            yg_sel = yg_all[self._coll_yg_idx[has_yg]]
+            q_lu[has_yg] = (
+                BETA_COLL / np.sqrt(t_e)[None, :]
+                * yg_sel
+                * np.exp(-u0l[has_yg])
+            )
         coll_exc_coeff = q_lu
         coll_deexc_coeff = (
             q_lu * (self._coll_gl / self._coll_gu)[:, None] * np.exp(u0l)

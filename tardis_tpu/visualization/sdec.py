@@ -209,19 +209,21 @@ class SDECPlotter:
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
 
-        wl, em_stack, ab_stack, labels_e, labels_a, total = self._prep(
-            packets_mode, species_list, nelements, wavelength_range_angstrom
-        )
-        # flux mode: L / (4 pi d^2) with d in cm (reference lum_to_flux)
+        # flux mode: L / (4 pi d^2) with d in cm (reference lum_to_flux).
+        # Validated unconditionally and BEFORE any data prep (ADVICE r4:
+        # distance = 0 divided by zero when an observed spectrum was given)
         lum_to_flux = 1.0
         if distance is not None:
-            if observed_spectrum is None and distance <= 0:
+            if distance <= 0:
                 raise ValueError("distance must be positive")
             lum_to_flux = 4.0 * np.pi * float(distance) ** 2
         elif observed_spectrum is not None:
             raise ValueError(
                 "plotting an observed spectrum requires distance"
             )
+        wl, em_stack, ab_stack, labels_e, labels_a, total = self._prep(
+            packets_mode, species_list, nelements, wavelength_range_angstrom
+        )
 
         def fl(y):
             return y / lum_to_flux
@@ -278,16 +280,18 @@ class SDECPlotter:
         sdec_plot.py).  Requires plotly; raises ImportError otherwise."""
         import plotly.graph_objects as go
 
-        wl, em_stack, ab_stack, labels_e, labels_a, total = self._prep(
-            packets_mode, species_list, nelements, wavelength_range_angstrom
-        )
         lum_to_flux = 1.0
         if distance is not None:
+            if distance <= 0:
+                raise ValueError("distance must be positive")
             lum_to_flux = 4.0 * np.pi * float(distance) ** 2
         elif observed_spectrum is not None:
             raise ValueError(
                 "plotting an observed spectrum requires distance"
             )
+        wl, em_stack, ab_stack, labels_e, labels_a, total = self._prep(
+            packets_mode, species_list, nelements, wavelength_range_angstrom
+        )
         fig = go.Figure()
         for name, y in zip(labels_e, em_stack):
             fig.add_trace(

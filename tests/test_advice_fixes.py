@@ -264,3 +264,136 @@ def test_helium_numerical_uses_tabulated_strengths():
     assert not np.allclose(up_c, up_p), (
         "tabulated collision strengths had no effect on helium bb rates"
     )
+
+
+# ---------------------------------------------------------------------------
+# ADVICE.md round 4
+# ---------------------------------------------------------------------------
+
+
+def _mini_config(abundances):
+    return {
+        "supernova": {"luminosity_requested": "9.44 log_lsun",
+                      "time_explosion": "13 day"},
+        "model": {
+            "structure": {
+                "type": "specific",
+                "velocity": {"start": "1.1e4 km/s", "stop": "2e4 km/s",
+                             "num": 5},
+                "density": {"type": "branch85_w7"},
+            },
+            "abundances": abundances,
+        },
+        "montecarlo": {"seed": 1, "no_of_packets": 100, "iterations": 1},
+        "spectrum": {"start": "500 angstrom", "stop": "20000 angstrom",
+                     "num": 100},
+    }
+
+
+def test_uniform_isotope_abundances_fold_into_elements():
+    """Uniform-abundance isotope keys decay into elemental contributions
+    (ADVICE r4 medium: they were silently dropped and the remainder
+    renormalized — {Ni56: 0.5, Si: 0.5} became pure Si)."""
+    from tardis_tpu.config.reader import config_from_dict
+    from tardis_tpu.model.state import SimulationState
+
+    cfg = config_from_dict(
+        _mini_config({"type": "uniform", "Ni56": 0.5, "Si": 0.5})
+    )
+    s = SimulationState.from_config(cfg)
+    zs = list(s.composition.atomic_numbers)
+    mf = s.composition.mass_fractions[:, 0]
+    # Si keeps its half; the Ni56 half decays into Ni/Co/Fe at 13 days
+    np.testing.assert_allclose(mf[zs.index(14)], 0.5, rtol=1e-10)
+    assert {26, 27, 28} <= set(zs)
+    np.testing.assert_allclose(mf.sum(), 1.0, rtol=1e-10)
+    assert mf[zs.index(27)] > mf[zs.index(28)] > 0  # Co peak at 13 d
+
+    # a pure-isotope composition is valid too (was: empty composition)
+    cfg2 = config_from_dict(_mini_config({"type": "uniform", "Ni56": 1.0}))
+    s2 = SimulationState.from_config(cfg2)
+    np.testing.assert_allclose(
+        s2.composition.mass_fractions[:, 0].sum(), 1.0, rtol=1e-10
+    )
+
+
+def test_velocity_window_applies_to_file_structures(tmp_path):
+    """v_inner/v_outer_boundary trim file-based structures too (ADVICE r4
+    low: the keys were schema-accepted but silently ignored there)."""
+    from tardis_tpu.config.reader import config_from_dict
+    from tardis_tpu.model.state import SimulationState
+
+    # minimal cmfgen-format model file (io/model_readers.read_cmfgen_model)
+    path = tmp_path / "model.csv"
+    rows = [
+        "t0: 0.976 day",
+        "Index velocity temperature densities electron_densities Si",
+        "- km/s K g/cm^3 /cm^3 1",
+    ]
+    for i, v in enumerate(np.linspace(11000, 20000, 7)):
+        rows.append(f"{i} {v:.1f} 1e4 {1e-14 * (1 + i):.3e} 1e9 1.0")
+    path.write_text("\n".join(rows) + "\n")
+
+    base = _mini_config({"type": "uniform", "Si": 1.0})
+    base["model"]["structure"] = {
+        "type": "file", "filetype": "cmfgen", "filename": str(path),
+    }
+    full = SimulationState.from_config(config_from_dict(base))
+
+    base["model"]["structure"]["v_inner_boundary"] = "1.3e4 km/s"
+    base["model"]["structure"]["v_outer_boundary"] = "1.8e4 km/s"
+    cut = SimulationState.from_config(config_from_dict(base))
+    assert cut.no_of_shells < full.no_of_shells
+    np.testing.assert_allclose(cut.geometry.v_inner[0], 1.3e9)
+    np.testing.assert_allclose(cut.geometry.v_outer[-1], 1.8e9)
+    # t_inner recomputed at the new (larger) inner radius -> cooler
+    assert cut.t_inner < full.t_inner
+
+
+def test_sdec_rejects_nonpositive_distance(atom_data_prepared):
+    """distance <= 0 raises in BOTH sdec backends even when an observed
+    spectrum is supplied (ADVICE r4 low: the check was conditional in mpl
+    and absent in plotly)."""
+    from tardis_tpu.visualization.sdec import SDECPlotter
+
+    class _Spec:
+        wavelength = np.linspace(1e-5, 2e-4, 10)
+        luminosity_lambda = np.ones(10)
+
+    plotter = SDECPlotter.__new__(SDECPlotter)  # no simulation needed
+    methods = ["generate_plot_mpl"]
+    try:  # plotly is optional in this image
+        import plotly  # noqa: F401
+
+        methods.append("generate_plot_ply")
+    except ImportError:
+        pass
+    for method in methods:
+        with pytest.raises(ValueError, match="distance must be positive"):
+            getattr(plotter, method)(
+                distance=0.0, observed_spectrum=_Spec()
+            )
+
+
+def test_empty_emission_block_emits_line0_frequency():
+    """Levels with no emission transitions get a dummy entry at line 0's
+    REAL frequency, not nu = 0 (ADVICE r4 low: a degenerate-chain
+    self-deactivation emitted a zero-frequency packet that silently
+    vanished from both luminosities)."""
+    from tardis_tpu.atomic.atom_data import MacroAtomData
+    from tardis_tpu.opacities.macro_atom_solver import _ChainContext
+
+    # two levels: level 0 emits line 0; level 1 has NO transitions at all
+    macro = MacroAtomData(
+        coef=np.array([1.0]),
+        transition_type=np.array([-1], np.int8),
+        destination_level_id=np.array([-1], np.int32),
+        transition_line_id=np.array([0], np.int32),
+        block_references=np.array([0, 1, 1], np.int32),
+        line2macro_level_upper=np.array([0], np.int32),
+    )
+    nu_scaled = np.array([2.345], np.float32)
+    ctx = _ChainContext(macro, "downbranch", nu_scaled)
+    nu_dense = np.asarray(ctx.arrays["nu_dense"])
+    # level 1's (empty) emission row carries line 0's real frequency
+    np.testing.assert_allclose(nu_dense[1], 2.345, rtol=1e-6)
