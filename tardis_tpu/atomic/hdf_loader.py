@@ -60,6 +60,23 @@ def atom_data_from_hdf(path: str) -> AtomData:
         ):
             if name in store:
                 extra[name] = store[name]
+        # molecular thermochemistry tables (reference MoleculeData,
+        # io/atom_data/base.py:111-135 + from_hdf:239-246): loaded and
+        # exposed exactly as the reference does — the reference core also
+        # only carries them (no plasma/transport consumer exists there
+        # either), so load-and-expose IS full parity
+        if "molecules/equilibrium_constants" in store:
+            extra["molecule_data"] = {
+                "equilibrium_constants": store[
+                    "molecules/equilibrium_constants"
+                ],
+                "partition_functions": store[
+                    "molecules/partition_functions"
+                ],
+                "dissociation_energies": store[
+                    "molecules/dissociation_energies"
+                ],
+            }
 
     # --- elements
     atom_df = atom_df.reset_index()

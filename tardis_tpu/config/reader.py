@@ -161,9 +161,55 @@ def parse_quantity(value) -> float:
 # ---------------------------------------------------------------------------
 
 
+# opt-in config access log (the dead-flag audit, VERDICT r4 item 6):
+# while a `track_config_access()` context is active, every key read
+# through a ConfigDict records its dotted path here — a schema-accepted
+# key a run never reads is a silently-ignored option
+_ACCESS_LOG: set | None = None
+
+
+class track_config_access:
+    """Context manager: record every ConfigDict key path read inside.
+
+    Usage::
+
+        with track_config_access() as accessed:
+            sim = run_tardis(cfg)
+        assert "montecarlo.no_of_packets" in accessed
+    """
+
+    def __enter__(self):
+        global _ACCESS_LOG
+        self._prev = _ACCESS_LOG
+        _ACCESS_LOG = set()
+        return _ACCESS_LOG
+
+    def __exit__(self, *exc):
+        global _ACCESS_LOG
+        _ACCESS_LOG = self._prev
+        return False
+
+
 class ConfigDict(dict):
     """Nested dict with attribute access (cf. ConfigurationNameSpace,
-    /root/reference/tardis/io/configuration/config_reader.py:23)."""
+    /root/reference/tardis/io/configuration/config_reader.py:23).
+
+    Each node built by :meth:`deep` knows its dotted path; reads log to the
+    access-tracking context when one is active."""
+
+    __slots__ = ("_cfg_path",)
+
+    def _log(self, item):
+        if (
+            _ACCESS_LOG is not None
+            and isinstance(item, str)
+            and item != "_cfg_path"
+        ):
+            try:
+                prefix = object.__getattribute__(self, "_cfg_path")
+            except AttributeError:
+                prefix = ""
+            _ACCESS_LOG.add(f"{prefix}.{item}" if prefix else item)
 
     def __getattr__(self, item):
         try:
@@ -172,15 +218,35 @@ class ConfigDict(dict):
             raise AttributeError(item) from exc
         return v
 
+    def __getitem__(self, item):
+        self._log(item)
+        return dict.__getitem__(self, item)
+
+    def get(self, item, default=None):
+        self._log(item)
+        return dict.get(self, item, default)
+
     def __setattr__(self, key, value):
-        self[key] = value
+        if key == "_cfg_path":
+            object.__setattr__(self, key, value)
+        else:
+            self[key] = value
 
     @classmethod
-    def deep(cls, d):
+    def deep(cls, d, _path: str = ""):
         if isinstance(d, dict):
-            return cls({k: cls.deep(v) for k, v in d.items()})
+            out = cls(
+                {
+                    k: cls.deep(
+                        v, f"{_path}.{k}" if _path else str(k)
+                    )
+                    for k, v in d.items()
+                }
+            )
+            out._cfg_path = _path
+            return out
         if isinstance(d, list):
-            return [cls.deep(v) for v in d]
+            return [cls.deep(v, _path) for v in d]
         return d
 
 

@@ -333,3 +333,81 @@ def test_iip_continuum_uses_tabulated_yg():
     np.testing.assert_allclose(
         cont.coll_exc_coeff[~has], cont0.coll_exc_coeff[~has], rtol=1e-12
     )
+
+
+def test_hdf_loader_molecule_data(tmp_path):
+    """The carsus ``molecules/*`` group loads into AtomData.meta
+    ['molecule_data'] with the reference's three tables (MoleculeData,
+    io/atom_data/base.py:111-135, from_hdf:239-246) — VERDICT r4 item 9:
+    the key was named but nothing consumed the group."""
+    import h5py
+    import pandas as pd
+
+    from tardis_tpu.atomic.hdf_loader import atom_data_from_hdf
+    from tardis_tpu.io.pandas_hdf_writer import write_frame
+
+    atom = make_synthetic_atom_data(atomic_numbers=(1, 2), max_ion_stage=2,
+                                    n_levels=4)
+    path = str(tmp_path / "atom_mol.h5")
+    lv = pd.DataFrame(
+        {
+            "atomic_number": atom.level_z,
+            "ion_number": atom.level_ion,
+            "level_number": atom.level_number,
+            "energy": atom.level_energy / 1.602176634e-12,
+            "g": atom.level_g,
+            "metastable": atom.level_meta,
+        }
+    )
+    ln = pd.DataFrame(
+        {
+            "atomic_number": atom.line_z,
+            "ion_number": atom.line_ion,
+            "level_number_lower": atom.level_number[atom.line_lower_idx],
+            "level_number_upper": atom.level_number[atom.line_upper_idx],
+            "nu": atom.line_nu,
+            "f_lu": atom.line_f_lu,
+        }
+    )
+    temps = [1000.0, 5000.0, 10000.0]
+    eq = pd.DataFrame(
+        {t: [1.2e3 * (i + 1) * t for i in range(2)] for t in temps},
+        index=pd.Index(["H2", "CO"], name="molecule"),
+    )
+    pf = pd.DataFrame(
+        {t: [2.0 + i + t / 1e4 for i in range(2)] for t in temps},
+        index=pd.Index(["H2", "CO"], name="molecule"),
+    )
+    de = pd.DataFrame(
+        {"dissociation_energy": [4.48, 11.09]},
+        index=pd.Index(["H2", "CO"], name="molecule"),
+    )
+    with h5py.File(path, "w") as f:
+        write_frame(
+            f, "/atom_data",
+            pd.DataFrame({"atomic_number": atom.atomic_numbers,
+                          "mass": atom.masses / 1.6605390666e-24}),
+        )
+        write_frame(
+            f, "/ionization_data",
+            pd.DataFrame({"atomic_number": atom.ionization_z,
+                          "ion_number": atom.ionization_ion,
+                          "ionization_energy":
+                              atom.ionization_energy / 1.602176634e-12}),
+        )
+        write_frame(f, "/levels_data", lv)
+        write_frame(f, "/lines_data", ln)
+        write_frame(f, "/molecules/equilibrium_constants", eq)
+        write_frame(f, "/molecules/partition_functions", pf)
+        write_frame(f, "/molecules/dissociation_energies", de)
+
+    loaded = atom_data_from_hdf(path)
+    mol = loaded.meta.get("molecule_data")
+    assert mol is not None
+    assert set(mol) == {"equilibrium_constants", "partition_functions",
+                        "dissociation_energies"}
+    assert list(mol["equilibrium_constants"].index) == ["H2", "CO"]
+    np.testing.assert_allclose(
+        mol["dissociation_energies"]["dissociation_energy"].to_numpy(),
+        [4.48, 11.09],
+    )

@@ -233,3 +233,113 @@ def test_abundance_file_simple_ascii(tmp_path):
     )
     # per-shell variation survived
     assert state.composition.mass_fractions[0].std() > 0.01
+
+
+@pytest.mark.slow
+def test_runtime_config_access_audit():
+    """Access-tracking dead-flag audit (VERDICT r4 item 6): every key
+    ACCEPTED in a maximal classic-mode config is actually READ by the
+    machinery during a real run — asserted on runtime ConfigDict access
+    paths, not source text, so a key mentioned only in a comment or
+    docstring cannot pass.  (The string-level test above still covers the
+    schema leaves this config matrix does not exercise.)"""
+    from tardis_tpu.atomic.synthetic import make_synthetic_atom_data
+    from tardis_tpu.config.reader import (
+        config_from_dict,
+        track_config_access,
+    )
+    from tardis_tpu.simulation.base import Simulation
+
+    raw = {
+        "supernova": {
+            "luminosity_requested": "9.44 log_lsun",
+            "time_explosion": "13 day",
+            "luminosity_wavelength_start": "100 angstrom",
+            "luminosity_wavelength_end": "30000 angstrom",
+        },
+        "model": {
+            "structure": {
+                "type": "specific",
+                "velocity": {"start": "1.1e4 km/s", "stop": "2e4 km/s",
+                             "num": 8},
+                "density": {"type": "branch85_w7",
+                            "w7_time_0": "0.0002 day"},
+                "v_inner_boundary": "1.15e4 km/s",
+                "v_outer_boundary": "1.9e4 km/s",
+            },
+            "abundances": {"type": "uniform", "O": 0.2, "Si": 0.8},
+        },
+        "plasma": {
+            "ionization": "nebular",
+            "excitation": "dilute-lte",
+            "radiative_rates_type": "detailed",
+            "line_interaction_type": "macroatom",
+            "link_t_rad_t_electron": 0.9,
+            "w_epsilon": 1e-10,
+            "initial_t_inner": "10000 K",
+            "initial_t_rad": "10000 K",
+            "disable_electron_scattering": False,
+            "disable_line_scattering": False,
+            "nlte": {"species": [], "coronal_approximation": False,
+                     "classical_nebular": False},
+        },
+        "montecarlo": {
+            "seed": 3, "no_of_packets": 512, "iterations": 2,
+            "last_no_of_packets": 512, "no_of_virtual_packets": 1,
+            "batch_size": 256,
+            "enable_full_relativity": False,
+            "enable_reflective_inner_boundary": True,
+            "inner_boundary_albedo": 0.1,
+            "nthreads": 2,
+            "virtual_spectrum_spawn_range": {"start": "100 angstrom",
+                                             "end": "30000 angstrom"},
+            "tracking": {"track_last_interaction": True,
+                         "track_rpacket": True,
+                         "initial_array_length": 4},
+            "convergence_strategy": {
+                "type": "damped", "damping_constant": 0.7,
+                "threshold": 0.05, "fraction": 0.8, "hold_iterations": 2,
+                "stop_if_converged": True, "lock_t_inner_cycles": 1,
+                "t_inner_update_exponent": -0.5,
+            },
+        },
+        "spectrum": {
+            "start": "500 angstrom", "stop": "20000 angstrom", "num": 200,
+            "method": "integrated",
+            "integrated": {"points": 100, "interpolate_shells": 0,
+                           "compute": "jax"},
+            "virtual": {"virtual_packet_logging": True,
+                        "tau_russian": 10.0,
+                        "survival_probability": 0.0,
+                        "enable_biasing": False},
+        },
+    }
+
+    def leaf_paths(d, prefix=""):
+        out = []
+        for k, v in d.items():
+            p = f"{prefix}.{k}" if prefix else k
+            if isinstance(v, dict):
+                out += leaf_paths(v, p)
+            else:
+                out.append(p)
+        return out
+
+    cfg = config_from_dict(raw)
+    atom = make_synthetic_atom_data(n_levels=6).prepare(
+        selected_atoms=[8, 14], line_interaction_type="macroatom"
+    )
+    with track_config_access() as acc:
+        sim = Simulation.from_config(cfg, atom_data=atom)
+        sim.run()
+    # sensitivity control: the tracker only contains what was read
+    assert "montecarlo.never_read_key" not in acc
+
+    # abundance element keys are consumed wholesale (dict copy +
+    # iteration) by design; the subtree itself must still be read
+    assert "model.abundances" in acc
+    unread = [
+        p for p in leaf_paths(raw)
+        if p not in acc and not p.startswith("model.abundances")
+    ]
+    assert not unread, f"schema-accepted keys the run never read: {unread}"
