@@ -36,6 +36,7 @@ BENCH_ARGS = [
     "--chunk", "2097152",
     "--e2e-iters", "3",
     "--final-vpackets", "2",
+    "--iip",
     "--roofline",
 ]
 CPU_BENCH_ARGS = [

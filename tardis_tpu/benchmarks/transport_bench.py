@@ -355,6 +355,125 @@ def bench_final_iteration(
     }
 
 
+def bench_iip(
+    n_packets=65536,
+    batch_size=16384,
+    max_steps=3000,
+):
+    """IIP (continuum) transport throughput + lane occupancy (VERDICT r4
+    item 5).
+
+    Continuum-thick states legitimately random-walk single packets through
+    1e4-1e5 events (the 500k-step failsafe exists for them), so the run is
+    CAPPED at ``max_steps`` and the honest metric is events/s, not
+    packets/s.  Reported for the drain-tail repack ladder ON and OFF:
+    measured occupancy without it parks at ~23% of the full batch for the
+    whole heavy tail; the ladder repacks survivors into halved widths and
+    restores ~90%.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from tardis_tpu.atomic.synthetic import make_synthetic_atom_data
+    from tardis_tpu.config.reader import config_from_dict
+    from tardis_tpu.model.state import SimulationState
+    from tardis_tpu.opacities.continuum_macro import (
+        solve_continuum_macro_state,
+    )
+    from tardis_tpu.plasma.continuum import ContinuumSolver
+    from tardis_tpu.plasma.solver import PlasmaSolver
+    from tardis_tpu.transport.device_state import build_transport_tables
+    from tardis_tpu.transport.kernel import run_transport
+    from tardis_tpu.transport.source import (
+        sample_blackbody_packets_relativistic,
+    )
+
+    config = config_from_dict(
+        {
+            "supernova": {
+                "luminosity_requested": "9.44 log_lsun",
+                "time_explosion": "13 day",
+            },
+            "model": {
+                "structure": {
+                    "type": "specific",
+                    "velocity": {"start": "1.1e4 km/s",
+                                 "stop": "20000 km/s", "num": 20},
+                    "density": {"type": "branch85_w7"},
+                },
+                "abundances": {"type": "uniform", "H": 0.8, "He": 0.2},
+            },
+            "plasma": {"line_interaction_type": "macroatom"},
+            "montecarlo": {"seed": 23111963, "no_of_packets": 1e5,
+                           "iterations": 1},
+            "spectrum": {"start": "500 angstrom", "stop": "20000 angstrom",
+                         "num": 1000},
+        }
+    )
+    state = SimulationState.from_config(config)
+    atom = make_synthetic_atom_data(
+        atomic_numbers=(1, 2), max_ion_stage=2, n_levels=10,
+        continuum_species=((1, 0),),
+    ).prepare(line_interaction_type="macroatom")
+    pls = PlasmaSolver(atom, state)
+    ps = pls.update(state.t_radiative, state.dilution_factor)
+    cs = ContinuumSolver(atom, pls)
+    cont = cs.update(ps)
+    macro = solve_continuum_macro_state(atom, ps, cont, ps.j_blues)
+    tables, static = build_transport_tables(
+        state.geometry, ps, atom, "macroatom",
+        enable_full_relativity=True,
+        continuum_state=cont, continuum_macro=macro,
+    )
+    key = jax.random.key(np.uint32(23111963))
+    beta_inner = float(
+        state.geometry.r_inner[0]
+        / (29979245800.0 * state.time_explosion)
+    )
+    pool_mu, pool_nu, pool_w = sample_blackbody_packets_relativistic(
+        jax.random.fold_in(key, 0), n_packets, state.t_inner, beta_inner
+    )
+    rk = jax.random.fold_in(key, 1)
+    batch = min(batch_size, n_packets)
+
+    out = {"n_packets": n_packets, "batch_size": batch,
+           "max_steps_cap": max_steps,
+           "platform": jax.devices()[0].platform}
+    for label, ladder in (("ladder", True), ("no_ladder", False)):
+        times = []
+        carry = None
+        for _ in range(2):
+            t0 = time.time()
+            carry = run_transport(
+                tables, static, pool_mu, pool_nu, rk,
+                n_packets=n_packets, batch_size=batch,
+                tail_batch=min(2048, batch // 4),
+                max_steps=max_steps,
+                pool_w=pool_w, tail_ladder=ladder,
+            )
+            jax.block_until_ready(carry.est_j)
+            times.append(time.time() - t0)
+        best = min(times)
+        n_events = float(carry.n_events)
+        n_steps = int(carry.n_steps)
+        out[label] = {
+            "time_s": best,
+            "first_time_s": times[0],
+            "n_steps": n_steps,
+            "n_events": n_events,
+            "events_per_s": n_events / best,
+            # aggregate live-lane fraction; per the cap, width varies
+            # under the ladder so this is lane-steps actually spent alive
+            # over full-width-equivalent capacity
+            "occupancy_vs_full_width": n_events / (n_steps * batch),
+            "alive_at_cap": int(np.asarray(carry.alive).sum()),
+        }
+    out["ladder_speedup_events_per_s"] = round(
+        out["ladder"]["events_per_s"] / out["no_ladder"]["events_per_s"], 3
+    )
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--packets", type=int, default=1_000_000)
@@ -367,6 +486,11 @@ def main():
     ap.add_argument(
         "--e2e-iters", type=int, default=0,
         help="also run an N-iteration end-to-end convergence-loop bench",
+    )
+    ap.add_argument(
+        "--iip", action="store_true",
+        help="also run the IIP (continuum) throughput + occupancy bench "
+        "with the drain-tail repack ladder on and off",
     )
     ap.add_argument(
         "--final-vpackets", type=int, default=0,
@@ -424,6 +548,8 @@ def main():
         out["e2e"]["ratio_vs_kernel"] = round(
             out["e2e"]["e2e_s_per_iteration"] / out["time_s"], 3
         )
+    if args.iip:
+        out["iip"] = bench_iip()
     if args.final_vpackets > 0:
         out["final_iteration"] = bench_final_iteration(
             n_packets=args.packets,

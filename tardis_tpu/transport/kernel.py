@@ -1187,6 +1187,7 @@ def run_transport(
     chunk_size: int = 2097152,
     pool_w=None,
     progress=None,
+    tail_ladder: bool = False,
 ):
     """Run transport for all n_packets on one device; returns final carry.
 
@@ -1244,82 +1245,126 @@ def run_transport(
         # program size at most; lane continuity makes the split free)
         chunk_size = min(chunk_size, 262144)
         progress(0, n_packets)
+    use_tail = 0 < tail_batch < batch
+    # drain-tail repack LADDER (round 5, ``tail_ladder=True``): once the
+    # pool is exhausted the lockstep batch decays from full occupancy to
+    # empty over the longest-lived packets' remaining events.  A single
+    # narrow repack at `tail_batch` lanes leaves the whole decay running
+    # at width B — fine for classic mode (the drain is ~60 steps), but
+    # catastrophic for IIP heavy tails, where thousands of packets
+    # random-walk 1e4-1e5 events: measured occupancy parks at ~23% of a
+    # full-width batch for tens of thousands of steps.  The ladder exits
+    # the wide loop at half occupancy and repacks survivors into
+    # successively halved widths (each width one cached XLA program;
+    # per-packet counter RNG keeps results bitwise identical).  It is
+    # OPT-IN because each extra stage costs a program dispatch (~0.1 s on
+    # the axon tunnel), which outweighs the saving for short drains —
+    # the continuum transport path enables it.
+    first_exit = (
+        batch // 2 if (use_tail and tail_ladder) else
+        (tail_batch if use_tail else 0)
+    )
+
+    def _step_budget(width):
+        # keep each XLA program execution well under the platform's
+        # ~1-minute watchdog (the round-1 fault this module chunks
+        # around): measured step cost on this chip is ~1.5 ms fixed +
+        # ~80 ns/lane, so budget steps for a ~25 s program.  The step
+        # LIMIT is a dynamic (traced) argument, so slicing reuses one
+        # compiled program per (shape, static-config).
+        return max(1000, int(25.0 / (0.0015 + 8e-8 * width)))
+
+    def _run_sliced(c, start, n_loc, width, th, drain_):
+        """Run one logical chunk as watchdog-bounded program slices.
+
+        Pool slices can stall far beyond any wall-time bound when no
+        lane dies for tens of thousands of steps (IIP heavy tails), so
+        every program gets a bounded step budget and the host loops on
+        the carried state — bitwise identical to one long program.
+        """
+        budget = _step_budget(width)
+        sl = slice(start, start + n_loc)
+        mu_sl, nu_sl = pool_mu[sl], pool_nu_cmf[sl]
+        w_sl = None if pool_w is None else pool_w[sl]
+        while True:
+            done_steps = int(np.asarray(c.n_steps))
+            limit = min(done_steps + budget, max_steps)
+            c = _run_chunk_jit(
+                tables, static, mu_sl, nu_sl, base_key,
+                jnp.asarray(start, I32), c,
+                n_packets=n_loc, batch_size=width,
+                max_steps=jnp.asarray(limit, I32),
+                tail_threshold=th, n_out=n_packets, drain=drain_,
+                pool_w=w_sl,
+            )
+            steps = int(np.asarray(c.n_steps))
+            if steps >= max_steps or steps < limit:
+                # global cap, or the loop exited on its own condition
+                return c
+
     carry = init_carry(static, batch, n_packets)
     for start in range(0, n_packets, chunk_size):
         n_local = min(chunk_size, n_packets - start)
         last = start + n_local >= n_packets
-        tb = tail_batch if (last and 0 < tail_batch < batch) else 0
+        tb = first_exit if (last and first_exit > tail_batch) else (
+            tail_batch if (last and use_tail) else 0
+        )
         if start > 0:
             carry = carry._replace(next_unborn=jnp.zeros((), I32))
-        carry = _run_chunk_jit(
-            tables, static,
-            pool_mu[start : start + n_local],
-            pool_nu_cmf[start : start + n_local],
-            base_key,
-            jnp.asarray(start, I32),
-            carry,
-            n_packets=n_local,
-            batch_size=batch,
-            max_steps=max_steps,
-            tail_threshold=tb,
-            n_out=n_packets,
-            drain=last,
-            pool_w=(
-                None if pool_w is None
-                else pool_w[start : start + n_local]
-            ),
-        )
+        carry = _run_sliced(carry, start, n_local, batch, tb, last)
         if progress is not None:
             jax.block_until_ready(carry.n_steps)
             progress(min(start + n_local, n_packets), n_packets)
-    if not (0 < tail_batch < batch):
-        n_alive = int(np.asarray(carry.alive).sum())
+
+    def _warn_immortal(c):
+        n_alive = int(np.asarray(c.alive).sum())
         if n_alive:
             logging.getLogger(__name__).warning(
                 "%d packet lane(s) force-terminated after %d steps "
                 "(immortal-lane guard) — their packets carry no output",
                 n_alive, max_steps,
             )
-        return carry
+        return c
 
-    # final tail repack: compact survivors into a narrow lane batch
-    alive = np.asarray(carry.alive)
-    n_alive = int(alive.sum())
-    if n_alive == 0:
-        return carry
+    if not use_tail:
+        return _warn_immortal(carry)
+
     last_start = ((n_packets - 1) // chunk_size) * chunk_size
     n_local = n_packets - last_start
-    idx = np.nonzero(alive)[0]
-    pad = np.zeros(tail_batch - n_alive, dtype=idx.dtype)
-    sel = jnp.asarray(np.concatenate([idx, pad]), I32)
-    mask = jnp.asarray(np.arange(tail_batch) < n_alive)
+    width = max(batch // 2, tail_batch) if tail_ladder else tail_batch
+    while width >= tail_batch:
+        alive = np.asarray(carry.alive)
+        n_alive = int(alive.sum())
+        if n_alive == 0:
+            return carry
+        if n_alive > width:
+            # loop exited on max_steps before reaching this width
+            return _warn_immortal(carry)
+        idx = np.nonzero(alive)[0]
+        pad = np.zeros(width - n_alive, dtype=idx.dtype)
+        sel = jnp.asarray(np.concatenate([idx, pad]), I32)
+        mask = jnp.asarray(np.arange(width) < n_alive)
 
-    def take(x):
-        return x[sel]
+        def take(x):
+            return x[sel]
 
-    tail0 = carry._replace(
-        r=take(carry.r), mu=take(carry.mu), nu=take(carry.nu),
-        energy=take(carry.energy), shell=take(carry.shell),
-        next_line=take(carry.next_line), pkt_id=take(carry.pkt_id),
-        event_idx=take(carry.event_idx), alive=take(carry.alive) & mask,
-    )
-    carry = _run_tail_jit(
-        tables, static,
-        pool_mu[last_start:], pool_nu_cmf[last_start:],
-        base_key, tail0,
-        jnp.asarray(last_start, I32),
-        n_packets=n_local, tail_batch=tail_batch, max_steps=max_steps,
-        n_out=n_packets,
-        pool_w=None if pool_w is None else pool_w[last_start:],
-    )
-    n_alive = int(np.asarray(carry.alive).sum())
-    if n_alive:
-        logging.getLogger(__name__).warning(
-            "%d packet lane(s) force-terminated after %d steps "
-            "(immortal-lane guard) — their packets carry no output",
-            n_alive, max_steps,
+        reps = dict(
+            r=take(carry.r), mu=take(carry.mu), nu=take(carry.nu),
+            energy=take(carry.energy), shell=take(carry.shell),
+            next_line=take(carry.next_line), pkt_id=take(carry.pkt_id),
+            event_idx=take(carry.event_idx),
+            alive=take(carry.alive) & mask,
         )
-    return carry
+        narrowed = carry._replace(**reps)
+        final_stage = width // 2 < tail_batch
+        carry = _run_sliced(
+            narrowed, last_start, n_local, width,
+            0 if final_stage else width // 2, True,
+        )
+        if final_stage:
+            break
+        width //= 2
+    return _warn_immortal(carry)
 
 
 # backwards-compatible alias: a chunked run IS the plain run now
@@ -1328,7 +1373,7 @@ _run_transport_chunked = run_transport
 
 @partial(
     jax.jit,
-    static_argnames=("static", "n_packets", "batch_size", "max_steps",
+    static_argnames=("static", "n_packets", "batch_size",
                      "tail_threshold", "n_out", "drain"),
     donate_argnames=("carry0",),
 )
@@ -1345,18 +1390,3 @@ def _run_chunk_jit(
     )
 
 
-@partial(
-    jax.jit,
-    static_argnames=("static", "n_packets", "tail_batch", "max_steps",
-                     "n_out"),
-    donate_argnames=("carry0",),
-)
-def _run_tail_jit(
-    tables, static, pool_mu, pool_nu_cmf, base_key, carry0, pid_offset,
-    n_packets, tail_batch, max_steps, n_out, pool_w=None,
-):
-    return transport_loop(
-        tables, static, pool_mu, pool_nu_cmf, base_key,
-        n_packets, tail_batch, max_steps, pid_offset=pid_offset,
-        carry0=carry0, pool_w=pool_w, n_out=n_out,
-    )

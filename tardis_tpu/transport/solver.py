@@ -412,6 +412,9 @@ class TransportSolver:
                 tail_batch=tail,
                 pool_w=pool_w,
                 progress=progress,
+                # IIP-mode packets legitimately random-walk 1e4-1e5 events;
+                # the repack ladder keeps the drain tail near-full occupancy
+                tail_ladder=continuum_state is not None,
             )
         if pbar is not None:
             pbar.n = n_packets
