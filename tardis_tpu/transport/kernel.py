@@ -1274,21 +1274,23 @@ def run_transport(
         # compiled program per (shape, static-config).
         return max(1000, int(25.0 / (0.0015 + 8e-8 * width)))
 
-    def _run_sliced(c, start, n_loc, width, th, drain_):
+    def _run_sliced(c, start, n_loc, width, th, drain_, steps_done):
         """Run one logical chunk as watchdog-bounded program slices.
 
         Pool slices can stall far beyond any wall-time bound when no
         lane dies for tens of thousands of steps (IIP heavy tails), so
         every program gets a bounded step budget and the host loops on
         the carried state — bitwise identical to one long program.
+        ``steps_done`` threads the carry's step counter host-side so the
+        common single-slice case pays only its one exit-check fetch.
+        Returns (carry, steps_done).
         """
         budget = _step_budget(width)
         sl = slice(start, start + n_loc)
         mu_sl, nu_sl = pool_mu[sl], pool_nu_cmf[sl]
         w_sl = None if pool_w is None else pool_w[sl]
         while True:
-            done_steps = int(np.asarray(c.n_steps))
-            limit = min(done_steps + budget, max_steps)
+            limit = min(steps_done + budget, max_steps)
             c = _run_chunk_jit(
                 tables, static, mu_sl, nu_sl, base_key,
                 jnp.asarray(start, I32), c,
@@ -1297,12 +1299,13 @@ def run_transport(
                 tail_threshold=th, n_out=n_packets, drain=drain_,
                 pool_w=w_sl,
             )
-            steps = int(np.asarray(c.n_steps))
-            if steps >= max_steps or steps < limit:
+            steps_done = int(np.asarray(c.n_steps))
+            if steps_done >= max_steps or steps_done < limit:
                 # global cap, or the loop exited on its own condition
-                return c
+                return c, steps_done
 
     carry = init_carry(static, batch, n_packets)
+    steps_done = 0
     for start in range(0, n_packets, chunk_size):
         n_local = min(chunk_size, n_packets - start)
         last = start + n_local >= n_packets
@@ -1311,9 +1314,10 @@ def run_transport(
         )
         if start > 0:
             carry = carry._replace(next_unborn=jnp.zeros((), I32))
-        carry = _run_sliced(carry, start, n_local, batch, tb, last)
+        carry, steps_done = _run_sliced(
+            carry, start, n_local, batch, tb, last, steps_done
+        )
         if progress is not None:
-            jax.block_until_ready(carry.n_steps)
             progress(min(start + n_local, n_packets), n_packets)
 
     def _warn_immortal(c):
@@ -1333,38 +1337,40 @@ def run_transport(
     n_local = n_packets - last_start
     width = max(batch // 2, tail_batch) if tail_ladder else tail_batch
     while width >= tail_batch:
-        alive = np.asarray(carry.alive)
-        n_alive = int(alive.sum())
-        if n_alive == 0:
-            return carry
-        if n_alive > width:
-            # loop exited on max_steps before reaching this width
+        if steps_done >= max_steps:
+            # exited on the global cap before reaching this width
             return _warn_immortal(carry)
-        idx = np.nonzero(alive)[0]
-        pad = np.zeros(width - n_alive, dtype=idx.dtype)
-        sel = jnp.asarray(np.concatenate([idx, pad]), I32)
-        mask = jnp.asarray(np.arange(width) < n_alive)
-
-        def take(x):
-            return x[sel]
-
-        reps = dict(
-            r=take(carry.r), mu=take(carry.mu), nu=take(carry.nu),
-            energy=take(carry.energy), shell=take(carry.shell),
-            next_line=take(carry.next_line), pkt_id=take(carry.pkt_id),
-            event_idx=take(carry.event_idx),
-            alive=take(carry.alive) & mask,
-        )
-        narrowed = carry._replace(**reps)
+        # device-side repack: the previous stage's threshold exit
+        # guarantees alive <= width, so survivors compact to the front by
+        # a stable argsort with NO host round-trip (the per-packet
+        # counter RNG keeps trajectories bitwise identical)
+        narrowed = _repack_jit(carry, width)
         final_stage = width // 2 < tail_batch
-        carry = _run_sliced(
+        carry, steps_done = _run_sliced(
             narrowed, last_start, n_local, width,
-            0 if final_stage else width // 2, True,
+            0 if final_stage else width // 2, True, steps_done,
         )
         if final_stage:
             break
         width //= 2
     return _warn_immortal(carry)
+
+
+@partial(jax.jit, static_argnames=("width",), donate_argnames=("carry",))
+def _repack_jit(carry: TransportCarry, width: int) -> TransportCarry:
+    """Compact surviving lanes into the first ``width`` slots (stable)."""
+    order = jnp.argsort(~carry.alive, stable=True)
+    sel = order[:width]
+
+    def take(x):
+        return x[sel]
+
+    return carry._replace(
+        r=take(carry.r), mu=take(carry.mu), nu=take(carry.nu),
+        energy=take(carry.energy), shell=take(carry.shell),
+        next_line=take(carry.next_line), pkt_id=take(carry.pkt_id),
+        event_idx=take(carry.event_idx), alive=take(carry.alive),
+    )
 
 
 # backwards-compatible alias: a chunked run IS the plain run now
