@@ -84,8 +84,11 @@ def simulation_to_hdf(sim, path: str, name: str = "simulation"):
                          ps.electron_densities)
             _store_array(store, f"{prefix}/plasma/t_electrons",
                          ps.t_electrons)
-            _store_array(store, f"{prefix}/plasma/tau_sobolev",
-                         ps.tau_sobolev)
+            if ps.tau_sobolev is not None:
+                # None mid-convergence under line_mode='device' (the f64
+                # host tables are re-solved for the final iteration)
+                _store_array(store, f"{prefix}/plasma/tau_sobolev",
+                             ps.tau_sobolev)
             _store_array(store, f"{prefix}/plasma/level_number_density",
                          ps.level_number_density)
             _store_array(store, f"{prefix}/plasma/ion_number_density",

@@ -485,6 +485,35 @@ def _device_chain_tables(ctx, arrays, p_norm):
     return chain_cdf, emit_cdf
 
 
+def chain_tables_fit(
+    macro: MacroAtomData,
+    n_shells: int,
+    mode: str = "macroatom",
+    max_chain_bytes: float = 6e9,
+    line_nu_scaled=None,
+) -> bool:
+    """Whether solve_macro_chain would build tables (vs the walk fallback).
+
+    Depends only on the transition-table SPARSITY and the shell count, so
+    callers can decide up front (e.g. whether the device line-plasma path
+    is usable — the walk fallback needs the f64 host tables)."""
+    ctx = _chain_context(macro, mode, line_nu_scaled)
+    if mode == "downbranch":
+        return True
+    M, W, We = ctx.M, ctx.W, ctx.We
+    S = n_shells
+    solve_bytes = (
+        max(
+            S * b["n_cb"] * b["Wp"] * b["Wp"] * 4.0 * 3
+            for b in ctx.bucket_meta
+        )
+        if ctx.bucket_meta
+        else 0.0
+    )
+    table_bytes = S * M * (W + 1) * 4.0 + S * M * 3 * We * 4.0
+    return table_bytes + solve_bytes <= max_chain_bytes
+
+
 def solve_macro_chain(
     macro: MacroAtomData,
     beta_sobolev: np.ndarray,
@@ -524,11 +553,18 @@ def solve_macro_chain(
         if table_bytes + solve_bytes > max_chain_bytes:
             return None  # fall back to the in-kernel walk
 
+    def as_f32_dev(x):
+        # device-resident f32 inputs (line_mode='device') pass through;
+        # a np.asarray here would round-trip them through the host
+        if hasattr(x, "devices"):
+            return x
+        return jnp.asarray(np.asarray(x, np.float32))
+
     chain_cdf, emit_cdf = ctx.jit_fn(
         ctx.arrays,
-        jnp.asarray(np.asarray(beta_sobolev, np.float32)),
-        jnp.asarray(np.asarray(j_blues, np.float32)),
-        jnp.asarray(np.asarray(stim_factor, np.float32)),
+        as_f32_dev(beta_sobolev),
+        as_f32_dev(j_blues),
+        as_f32_dev(stim_factor),
     )
     return MacroChainState(
         n_states=M,

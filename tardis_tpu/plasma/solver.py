@@ -205,11 +205,20 @@ class PlasmaSolver:
         t_rad: np.ndarray,
         w: np.ndarray,
         j_blues: np.ndarray | None = None,
+        line_mode: str = "host",
     ) -> PlasmaState:
         """Recompute the plasma state for the given radiation field.
 
         ``j_blues`` (L, S) is only used when radiative_rates_type='detailed'
         (estimator-derived mean intensities at the line blue wings).
+
+        ``line_mode="device"`` (round 5): compute the (L, S) line tables —
+        stim/beta/j_blues f32 + the two-float tau prefix — ON the
+        accelerator (plasma/device_line.py) and leave the f64 host fields
+        (tau_sobolev etc.) as None.  Only valid for the classic transport
+        convergence path (blackbody/dilute-blackbody rates, no NLTE
+        species); callers needing the f64 fields re-solve with the default
+        host mode.
         """
         atom = self.atom
         seed_n_e = self._last_n_e  # fixpoint seed (checkpointed for resume)
@@ -376,6 +385,39 @@ class PlasmaSolver:
             if self.radiative_rates_type == "blackbody"
             else w
         )
+        if line_mode == "device":
+            if self.radiative_rates_type == "detailed" or self.nlte_species:
+                raise ValueError(
+                    "line_mode='device' requires blackbody/dilute-blackbody "
+                    "radiative rates and no NLTE species (those paths read "
+                    "the f64 host line tables)"
+                )
+            from tardis_tpu.plasma.device_line import (
+                solve_device_line_state,
+            )
+
+            dl = solve_device_line_state(
+                atom, n_level, t_rad, jb_w, self.time_explosion
+            )
+            return PlasmaState(
+                t_rad=t_rad,
+                w=w,
+                t_electrons=t_electrons,
+                electron_densities=n_e,
+                ion_number_density=ion_density,
+                level_number_density=n_level,
+                partition_function=z_part,
+                tau_sobolev=None,
+                stimulated_emission_factor=None,
+                beta_sobolev=None,
+                j_blues=None,
+                stim32=dl.stim32,
+                beta32=dl.beta32,
+                j_blues32=dl.j_blues32,
+                tau_prefix_hi=dl.tau_prefix_hi,
+                tau_prefix_lo=dl.tau_prefix_lo,
+            )
+
         extras = {}
         fused = native.line_plasma_tables_full(
             n_level, atom.line_lower_idx, atom.line_upper_idx,

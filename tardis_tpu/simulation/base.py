@@ -244,11 +244,49 @@ class Simulation:
         (cf. reference run_tardis callbacks, tardis/base.py:70-100)."""
         self._callbacks.append(fn)
 
-    def _solve_plasma(self, estimator_j_blues=None):
+    _device_line_eligible: bool | None = None
+
+    def _device_line_ok(self) -> bool:
+        """Whether the convergence loop may use the device line-plasma
+        path (plasma/device_line.py): classic transport solver, Planck-
+        based radiative rates, no NLTE species, and the macro-chain
+        sampler guaranteed to engage (the walk fallback reads the f64
+        host tables)."""
+        if self._device_line_eligible is None:
+            t = self.transport
+            ok = (
+                type(t) is TransportSolver
+                and self.plasma_solver.radiative_rates_type != "detailed"
+                and not self.plasma_solver.nlte_species
+            )
+            lit = t.line_interaction_type if ok else None
+            if ok and lit in ("downbranch", "macroatom"):
+                from tardis_tpu.opacities.macro_atom_solver import (
+                    chain_tables_fit,
+                )
+                from tardis_tpu.transport.device_state import NU_UNIT
+
+                ok = t.use_macro_chain in ("auto", True) and (
+                    chain_tables_fit(
+                        self.atom_data.downbranch
+                        if lit == "downbranch"
+                        else self.atom_data.macro_atom,
+                        self.state.no_of_shells,
+                        mode=lit,
+                        line_nu_scaled=self.atom_data.line_nu / NU_UNIT,
+                    )
+                )
+            self._device_line_eligible = bool(ok)
+        return self._device_line_eligible
+
+    def _solve_plasma(self, estimator_j_blues=None, line_mode=None):
+        if line_mode is None:
+            line_mode = "device" if self._device_line_ok() else "host"
         self.plasma_state = self.plasma_solver.update(
             self.state.t_radiative,
             self.state.dilution_factor,
             j_blues=estimator_j_blues,
+            line_mode=line_mode,
         )
 
     # ------------------------------------------------------------------
@@ -388,8 +426,14 @@ class Simulation:
         (reference simulation/base.py:525-570)."""
         iteration = self.iterations_executed
         n_vp = int(self.config.montecarlo.get("no_of_virtual_packets", 0))
-        if self.plasma_state is None:
-            self._solve_plasma()
+        if self.plasma_state is None or (
+            self.plasma_state.tau_sobolev is None
+        ):
+            # the final iteration consumes the f64 host line tables (the
+            # formal integral, line-estimator materialization); device-mode
+            # convergence states re-solve at the same (t_rad, W) —
+            # deterministic, milliseconds via the fused native pass
+            self._solve_plasma(line_mode="host")
         result = self.transport.run_iteration(
             self.state,
             self.plasma_state,

@@ -226,3 +226,67 @@ def test_native_pipeline_matches_numpy(plasma_state, atom_data_prepared):
                            lambda *a, **k: None):
         cum_np = mas.solve_macro_state(*args)[0]
     np.testing.assert_allclose(cum_native, cum_np, atol=2e-6)
+
+
+def test_device_line_mode_matches_host(atom_data_prepared):
+    """line_mode='device' reproduces the host line tables within the f32
+    contract: prefix differences track the exact f64 prefix to ~1e-5
+    relative, and the f32 stim/beta/j_blues agree with the host's own f32
+    casts except at branch-threshold lines (round 5,
+    plasma/device_line.py)."""
+    import numpy as np
+
+    from tardis_tpu.config.reader import config_from_dict
+    from tardis_tpu.model.state import SimulationState
+    from tardis_tpu.plasma.solver import PlasmaSolver
+
+    cfg = config_from_dict(BASE_CONFIG)
+    state = SimulationState.from_config(cfg)
+    # separate solvers: the n_e fixpoint seed carries across update calls
+    host = PlasmaSolver(atom_data_prepared, state).update(
+        state.t_radiative, state.dilution_factor
+    )
+    dev = PlasmaSolver(atom_data_prepared, state).update(
+        state.t_radiative, state.dilution_factor, line_mode="device"
+    )
+
+    assert dev.tau_sobolev is None  # f64 host fields deliberately absent
+    assert dev.beta_sobolev is None
+    # populations identical (host-computed either way)
+    np.testing.assert_array_equal(
+        dev.level_number_density, host.level_number_density
+    )
+
+    # prefix: hi+lo tracks the host's exact f64 prefix
+    hi = np.asarray(dev.tau_prefix_hi, np.float64)
+    lo = np.asarray(dev.tau_prefix_lo, np.float64)
+    ref = host.tau_prefix_hi.astype(np.float64) + host.tau_prefix_lo.astype(
+        np.float64
+    )
+    rel = np.abs(hi + lo - ref) / np.maximum(np.abs(ref), 1e-6)
+    assert rel.max() < 1e-4, rel.max()
+
+    # f32 tables agree with the host casts almost everywhere (the rare
+    # exceptions are f32-vs-f64 branch-threshold lines)
+    for name in ("stim32", "beta32", "j_blues32"):
+        d = np.asarray(getattr(dev, name), np.float64)
+        h = getattr(host, name).astype(np.float64)
+        scale = np.maximum(np.abs(h), np.abs(h).max() * 1e-12 + 1e-300)
+        frac_bad = float((np.abs(d - h) / scale > 1e-3).mean())
+        assert frac_bad < 5e-3, (name, frac_bad)
+
+
+def test_device_line_mode_rejected_for_detailed(atom_data_prepared):
+    import pytest
+
+    from tardis_tpu.config.reader import config_from_dict
+    from tardis_tpu.model.state import SimulationState
+    from tardis_tpu.plasma.solver import PlasmaSolver
+
+    cfg = config_from_dict(BASE_CONFIG)
+    state = SimulationState.from_config(cfg)
+    solver = PlasmaSolver(atom_data_prepared, state,
+                          radiative_rates_type="detailed")
+    with pytest.raises(ValueError, match="device"):
+        solver.update(state.t_radiative, state.dilution_factor,
+                      line_mode="device")
