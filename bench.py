@@ -34,7 +34,7 @@ BENCH_ARGS = [
     "--jump", "60",
     "--mode", "macroatom",
     "--chunk", "2097152",
-    "--e2e-iters", "3",
+    "--e2e-iters", "5",
     "--final-vpackets", "2",
     "--iip",
     "--roofline",
