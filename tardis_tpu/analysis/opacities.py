@@ -41,6 +41,10 @@ class OpacityCalculator:
                  lam_max_angstrom=2e4, bin_scaling="log"):
         if sim.plasma_state is None:
             raise ValueError("simulation has no plasma state yet")
+        if sim.plasma_state.tau_sobolev is None:
+            # mid-convergence device-mode plasma lacks the f64 host line
+            # tables this diagnostic reads — re-solve at the same field
+            sim._solve_plasma(line_mode="host")
         self.sim = sim
         self._nbins = int(nbins)
         self._lam_min = float(lam_min_angstrom)

@@ -258,6 +258,11 @@ class Simulation:
                 type(t) is TransportSolver
                 and self.plasma_solver.radiative_rates_type != "detailed"
                 and not self.plasma_solver.nlte_species
+                # IIP continuum: the ContinuumSolver and the Markov macro
+                # build consume the f64 host line tables every iteration
+                and not self.config.plasma.get(
+                    "continuum_interaction", {}
+                ).get("species")
             )
             lit = t.line_interaction_type if ok else None
             if ok and lit in ("downbranch", "macroatom"):

@@ -42,6 +42,10 @@ class TypeIIPWorkflow(SimpleTARDISWorkflow):
         if sim.transport.line_interaction_type != "macroatom":
             raise ValueError("IIP mode requires line_interaction_type="
                              "'macroatom' (as in the reference)")
+        # the continuum solver + Markov macro build consume the f64 host
+        # line tables every iteration — the device line-plasma fast path
+        # (plasma/device_line.py) does not apply to IIP mode
+        sim._device_line_eligible = False
         self.cont_solver = ContinuumSolver(sim.atom_data, sim.plasma_solver)
         self.cont_state = None
         self.cont_estimators: ContinuumEstimators | None = None

@@ -28,6 +28,9 @@ class InnerVelocitySolverWorkflow(SimpleTARDISWorkflow):
                  mean_optical_depth: str = "rosseland",
                  damping_factor: float = 0.5):
         super().__init__(config, atom_data)
+        # get_tau_integ reads the f64 host tau table every iteration — the
+        # device line-plasma fast path does not apply to this workflow
+        self.sim._device_line_eligible = False
         self.log_tau_target = np.log(tau)
         self.mean_optical_depth = mean_optical_depth
         self.damping_factor = damping_factor
