@@ -30,8 +30,6 @@ def build_tables(mode, n_levels=200, jump=60):
     import jax.numpy as jnp  # noqa: F401
 
     if mode == "iip":
-        from tardis_tpu.benchmarks.transport_bench import bench_iip  # noqa
-        # reuse bench_iip's problem construction pieces
         from tardis_tpu.atomic.synthetic import make_synthetic_atom_data
         from tardis_tpu.config.reader import config_from_dict
         from tardis_tpu.model.state import SimulationState
